@@ -1,0 +1,115 @@
+"""ResNet-50 backbone with frozen batch-norm — Flax, NHWC, TPU-native.
+
+Mirrors the torchvision resnet50 used by both reference detectors
+(reference fasterrcnn.py:317 `resnet_fpn_backbone('resnet50', ...)`,
+reference fcos.py:780 `resnet50(norm_layer=FrozenBatchNorm2d)`):
+- v1.5 bottlenecks (stride on the 3x3 conv),
+- FrozenBatchNorm: all BN statistics and affine params are constants during
+  training (they live in the param tree but the optimizer masks them out —
+  see train/state.py), matching `trainable_backbone_layers=3` semantics where
+  conv1/layer1 are additionally frozen entirely.
+
+Layout is NHWC (TPU-native); the torchvision->JAX weight converter in
+utils/weights.py handles OIHW -> HWIO transposition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with constant statistics and affine params.
+
+    Matches torchvision FrozenBatchNorm2d: y = (x - mean) * gamma /
+    sqrt(var + eps) + beta with all four tensors frozen (eps=1e-5).
+    Params are regular Flax params; the training loop never gives them
+    gradient updates (optimizer mask keyed on 'frozen_bn').
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        inv = scale / jnp.sqrt(var + self.eps)
+        return x * inv + (bias - mean * inv)
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; output is 4*features
+    strides: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.features, (1, 1), use_bias=False, kernel_init=KERNEL_INIT)(x)
+        out = FrozenBatchNorm(name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)],
+            use_bias=False,
+            kernel_init=KERNEL_INIT,
+        )(out)
+        out = FrozenBatchNorm(name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, kernel_init=KERNEL_INIT)(out)
+        out = FrozenBatchNorm(name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.features * 4,
+                (1, 1),
+                strides=(self.strides, self.strides),
+                use_bias=False,
+                kernel_init=KERNEL_INIT,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    """Returns {'c2','c3','c4','c5'} feature maps (strides 4/8/16/32)."""
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            kernel_init=KERNEL_INIT,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats = {}
+        block_counts = (3, 4, 6, 3)
+        widths = (64, 128, 256, 512)
+        for stage, (count, width) in enumerate(zip(block_counts, widths), start=1):
+            for i in range(count):
+                strides = 2 if (i == 0 and stage > 1) else 1
+                x = Bottleneck(
+                    width,
+                    strides=strides,
+                    downsample=(i == 0),
+                    name=f"layer{stage}_block{i}",
+                )(x)
+            feats[f"c{stage + 1}"] = x
+        return feats

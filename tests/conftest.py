@@ -1,0 +1,11 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initialises (the standard JAX fake-multi-device
+trick standing in for a real TPU pod slice).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
