@@ -1,0 +1,122 @@
+"""Experiment driver CLI — flag-compatible with the reference
+train_driving_dg.py:29-51 (`--model FRCNN|FCOS`, `--exp dg|non_dg`,
+`--source_domains`, `--target_domains`, `--weights_folder`,
+`--weights_file`, `--reg_weights a b c d e`).
+
+Domain letters map to datasets exactly like datasetsFromArguments
+(train_driving_dg.py:54-107): a=ACDC, b=BDD10k, c=Cityscapes, i=IDD, with
+sequential domain indices in that order. Everything is seeded to 42
+(train_driving_dg.py:112-116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+from .data.dataset import ConcatDataset, DrivingDataset
+from .data.loader import EvalLoader, TrainLoader
+from .train.harness import Trainer
+
+DOMAIN_SPECS = {
+    "a": ("acdc", "data/Annots/acdc_{split}_all.csv", "data/ACDC/rgb_anon/"),
+    "b": ("bdd10k", "data/Annots/bdd10k_{split}_all.csv",
+          "data/BDD100K/images/10k/{split}/"),
+    "c": ("cityscapes", "data/Annots/cityscapes_{split}_all.csv",
+          "data/Cityscapes/leftImg8bit/{split}/"),
+    "i": ("idd", "data/Annots/idd_{split}_all.csv", "data/IDD/leftImg8bit/{split}/"),
+}
+
+
+def parser_args(argv=None):
+    parser = argparse.ArgumentParser(description="Main Experiments (TPU)")
+    parser.add_argument("--model", dest="model", default="FRCNN", type=str,
+                        help="FRCNN or FCOS")
+    parser.add_argument("--exp", dest="exp", default="non_dg", type=str,
+                        help="non_dg or dg")
+    parser.add_argument("--source_domains", dest="source_domains", default="ABC",
+                        type=str)
+    parser.add_argument("--target_domains", dest="target_domains", default="I",
+                        type=str)
+    parser.add_argument("--weights_folder", dest="weights_folder", default="ABC2I",
+                        type=str)
+    parser.add_argument("--weights_file", dest="weights_file",
+                        default="single_source_acdc", type=str)
+    parser.add_argument("--reg_weights", nargs=5, metavar=("a", "b", "c", "d", "e"),
+                        dest="reg_weights", type=float,
+                        default=[0.5, 0.5, 0.5, 0.05, 0.0001])
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_epochs", type=int, default=100)
+    parser.add_argument("--data_root", type=str, default=".")
+    return parser.parse_args(argv)
+
+
+def datasets_from_arguments(source_domains: str, target_domains: str,
+                            data_root: str = "."):
+    def build(letters: str, split: str):
+        out, domain_index = [], -1
+        for letter in "abci":
+            if letter not in letters:
+                continue
+            domain_index += 1
+            _, csv_tpl, root_tpl = DOMAIN_SPECS[letter]
+            csv = os.path.join(data_root, csv_tpl.format(split=split))
+            root = os.path.join(data_root, root_tpl.format(split=split))
+            out.append(DrivingDataset(csv, root, domain_index))
+        return out
+
+    tr_datasets = build(source_domains, "train")
+    vl_datasets = build(source_domains, "val")
+    test_datasets = build(target_domains, "val")
+    return (
+        ConcatDataset(tr_datasets), tr_datasets,
+        ConcatDataset(vl_datasets), ConcatDataset(test_datasets),
+    )
+
+
+def main(argv=None):
+    args = parser_args(argv)
+    SEED = 42
+    np.random.seed(SEED)
+    random.seed(SEED)
+
+    source = args.source_domains.lower()
+    target = args.target_domains.lower()
+    tr_dataset, tr_datasets, vl_dataset, test_dataset = datasets_from_arguments(
+        source, target, args.data_root
+    )
+    num_domains = len(tr_datasets)
+
+    if args.model == "FRCNN":
+        from .models.dg_frcnn import DGFRCNNModel
+
+        model = DGFRCNNModel(num_classes=9, num_domains=num_domains)
+        val_resize = False  # raw-size val path (train_driving_dg.py:137-138)
+    elif args.model == "FCOS":
+        from .models.dg_fcos import DGFCOSModel
+
+        model = DGFCOSModel(num_classes=9, num_domains=num_domains)
+        val_resize = True  # Resize(600,1200) val path (train_driving_dg.py:140-142)
+    else:
+        raise ValueError(args.model)
+
+    dg = args.exp == "dg"
+    train_loader = TrainLoader(tr_dataset, args.batch_size, dg, seed=SEED)
+    val_loader = EvalLoader(vl_dataset, 1, val_resize)
+    test_loader = EvalLoader(test_dataset, 1, val_resize)
+
+    ckpt = os.path.join(args.weights_folder, args.weights_file + ".ckpt")
+    trainer = Trainer(
+        model, train_loader, val_loader,
+        reg_weights=args.reg_weights, dg=dg,
+        max_epochs=args.max_epochs, ckpt_path=ckpt, seed=SEED,
+    )
+    trainer.fit()
+    return trainer.test(test_loader)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""CSV-driven driving-scene detection dataset (host side).
+
+Parity with the reference DrivingDataset (DrivingDataset.py:7-105):
+- CSV schema `image_name, BoxesString, LabelsString` with ';'-separated
+  'x1 y1 x2 y2' boxes and `no_box` / `no_label` sentinels,
+- eager decode of all annotation strings at init,
+- malformed rows degrade to empty annotations (DrivingDataset.py:85-88,102-105),
+- box decode casts to int and clips at 0 (DrivingDataset.py:101),
+- the BDD sanitisation clips applied per image at load time
+  (DrivingDataset.py:41-48).
+
+Images load via OpenCV BGR->RGB exactly like the reference; a torch-free
+synthetic mode (`root=None` rows with embedded arrays) backs the tests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+def decode_boxes_string(s) -> np.ndarray:
+    s = str(s)
+    if s == "no_box":
+        return np.zeros((0, 4), np.float32)
+    try:
+        boxes = np.array(
+            [[float(v) for v in box.split(" ")] for box in s.split(";")]
+        )
+        return boxes.astype(np.int32).clip(min=0).astype(np.float32)
+    except Exception:
+        return np.zeros((0, 4), np.float32)
+
+
+def decode_labels_string(s) -> np.ndarray:
+    s = str(s)
+    if s == "no_label":
+        return np.zeros((0,), np.int32)
+    try:
+        return np.array([int(v) for v in s.split(";")], np.int32)
+    except Exception:
+        return np.zeros((0,), np.int32)
+
+
+def sanitize_boxes(boxes: np.ndarray, height: int, width: int) -> np.ndarray:
+    """BDD-style fixups (reference DrivingDataset.py:41-48)."""
+    if len(boxes) == 0:
+        return boxes
+    boxes = boxes.copy()
+    boxes[:, 0] = np.clip(boxes[:, 0], 0, width - 1)
+    boxes[:, 1] = np.clip(boxes[:, 1], 0, height - 1)
+    boxes[:, 2] = np.clip(boxes[:, 2], 1, width - 1)
+    boxes[:, 3] = np.clip(boxes[:, 3], 1, height - 1)
+    eq_x = boxes[:, 0] == boxes[:, 2]
+    eq_y = boxes[:, 1] == boxes[:, 3]
+    boxes[eq_x, 0] -= 1
+    boxes[eq_y, 1] -= 1
+    return boxes
+
+
+class DrivingDataset:
+    """Map-style dataset over one domain's CSV."""
+
+    def __init__(self, csv_file: str, root: str, domain: int):
+        ann = pd.read_csv(csv_file)
+        self.image_names: List[str] = list(ann["image_name"])
+        self.root = root
+        self.boxes = [decode_boxes_string(s) for s in ann["BoxesString"]]
+        self.labels = [decode_labels_string(s) for s in ann["LabelsString"]]
+        self.domain = domain
+
+    def __len__(self):
+        return len(self.image_names)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        import cv2
+
+        path = self.root + self.image_names[idx]
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def __getitem__(self, idx: int):
+        img = self.load_image(idx)
+        boxes = sanitize_boxes(self.boxes[idx], img.shape[0], img.shape[1])
+        return img, boxes, self.labels[idx].copy(), self.domain
+
+
+class SyntheticDataset:
+    """In-memory dataset with generated images — test/bench stand-in."""
+
+    def __init__(self, n: int, domain: int = 0, image_hw=(128, 256), num_classes: int = 8,
+                 max_boxes: int = 6, seed: int = 0):
+        rng = np.random.RandomState(seed + domain)
+        h, w = image_hw
+        self.images = [
+            rng.randint(0, 255, (h, w, 3), np.uint8) for _ in range(n)
+        ]
+        self.boxes, self.labels = [], []
+        for _ in range(n):
+            k = rng.randint(1, max_boxes + 1)
+            xy = rng.uniform([0, 0], [w * 0.6, h * 0.6], (k, 2))
+            wh = rng.uniform([w * 0.1, h * 0.1], [w * 0.35, h * 0.35], (k, 2))
+            b = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+            self.boxes.append(b)
+            self.labels.append(rng.randint(1, num_classes + 1, k).astype(np.int32))
+        self.domain = domain
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx: int):
+        return (
+            self.images[idx].copy(),
+            self.boxes[idx].copy(),
+            self.labels[idx].copy(),
+            self.domain,
+        )
+
+
+class ConcatDataset:
+    """Concatenation of per-domain datasets (torch ConcatDataset parity)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.cum = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.cum[-1]) if len(self.datasets) else 0
+
+    def __getitem__(self, idx: int):
+        ds_idx = int(np.searchsorted(self.cum, idx, side="right"))
+        prev = 0 if ds_idx == 0 else int(self.cum[ds_idx - 1])
+        return self.datasets[ds_idx][idx - prev]

@@ -1,0 +1,146 @@
+"""Batch loaders with the DG twice-per-batch sampler and threaded prefetch.
+
+Parity: the reference's custom train_dataloader (DGcommon.py:139-151)
+shuffles indices, chunks them into batches, and in 'dg' mode emits every
+batch twice consecutively so the mode-0 and mode-k steps of the 5-mode
+schedule see the same images. Host parallelism uses a thread pool (OpenCV
+releases the GIL) standing in for the reference's 4 DataLoader workers
+(DGcommon.py:151); a C++ decode path can slot under `fetch`.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from . import transforms as T
+
+
+def epoch_batch_indices(
+    n: int, batch_size: int, dg: bool, rng: np.random.RandomState
+) -> list[np.ndarray]:
+    """Shuffled batch index lists; each batch duplicated in dg mode."""
+    idx = rng.permutation(n)
+    num_batches = n // batch_size
+    out = []
+    for i in range(num_batches):
+        batch = idx[i * batch_size : (i + 1) * batch_size]
+        out.append(batch)
+        if dg:
+            out.append(batch.copy())
+    return out
+
+
+class TrainLoader:
+    """Iterates fixed-shape train batches; reshuffles every epoch
+    (the reference reloads its dataloader every epoch for the same effect,
+    train_driving_dg.py:163)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        dg: bool,
+        seed: int = 42,
+        num_workers: int = 8,
+        max_gt: int = T.MAX_GT,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.dg = dg
+        self.rng = np.random.RandomState(seed)
+        self.num_workers = num_workers
+        self.max_gt = max_gt
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        return n * 2 if self.dg else n
+
+    def _load_one(self, idx: int, aug_seed: int):
+        img, boxes, labels, domain = self.dataset[int(idx)]
+        return T.train_example(
+            img, boxes, labels, domain, np.random.RandomState(aug_seed), self.max_gt
+        )
+
+    def epoch(self) -> Iterator[dict]:
+        batches = epoch_batch_indices(
+            len(self.dataset), self.batch_size, self.dg, self.rng
+        )
+        # in dg mode consecutive duplicate batches must produce IDENTICAL
+        # augmented pixels (same flip), so augmentation seeds key on the
+        # batch *pair* index
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = Queue()
+
+            def submit(bi, batch):
+                pair = bi // 2 if self.dg else bi
+                seeds = [
+                    int(self.rng_epoch_base + pair * 131071 + j) for j in range(len(batch))
+                ]
+                futures = [
+                    pool.submit(self._load_one, idx, s)
+                    for idx, s in zip(batch, seeds)
+                ]
+                pending.put(futures)
+
+            self.rng_epoch_base = int(self.rng.randint(0, 2**31 - 1))
+            prefetch = 3
+            it = iter(enumerate(batches))
+            buffered = 0
+            for bi, batch in it:
+                submit(bi, batch)
+                buffered += 1
+                if buffered > prefetch:
+                    futures = pending.get()
+                    yield T.stack_examples([f.result() for f in futures])
+                    buffered -= 1
+            while buffered:
+                futures = pending.get()
+                yield T.stack_examples([f.result() for f in futures])
+                buffered -= 1
+
+
+class EvalLoader:
+    """Sequential fixed-shape eval batches (reference uses batch_size=1,
+    train_driving_dg.py:146-147)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        resize_to_train_size: bool = True,
+        num_workers: int = 8,
+        max_gt: int = T.MAX_GT,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.resize = resize_to_train_size
+        self.num_workers = num_workers
+        self.max_gt = max_gt
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def _load_one(self, idx: int):
+        img, boxes, labels, domain = self.dataset[int(idx)]
+        return T.eval_example(img, boxes, labels, domain, self.resize, self.max_gt)
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            futures = [pool.submit(self._load_one, i) for i in range(n)]
+            for start in range(0, n - n % self.batch_size, self.batch_size):
+                group = [futures[start + j].result() for j in range(self.batch_size)]
+                yield T.stack_examples(group)
+            rem = n % self.batch_size
+            if rem:
+                # pad the tail batch by repeating the last example; caller
+                # masks via 'pad' count
+                group = [futures[n - rem + j].result() for j in range(rem)]
+                batch = T.stack_examples(group + [group[-1]] * (self.batch_size - rem))
+                batch["num_real"] = rem
+                yield batch

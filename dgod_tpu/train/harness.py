@@ -1,0 +1,176 @@
+"""Training harness — epoch loop, validation mAP, checkpointing, early stop.
+
+Replaces the reference's PyTorch-Lightning Trainer usage
+(train_driving_dg.py:160-168) with an explicit loop:
+- per-epoch reshuffled train loader with the DG duplicate-batch sampler,
+- 5-mode schedule via ModeScheduler (mode state persists across epochs,
+  like the reference's `self.mode` attribute),
+- validation mAP@0.5 every epoch -> drives ReduceLROnPlateau (factor 0.1,
+  patience 5), ModelCheckpoint(best val_acc), EarlyStopping(patience 10)
+  (train_driving_dg.py:160-163, DGFRCNN.py:105),
+- warm-start from an existing checkpoint (train_driving_dg.py:154-155),
+- `test()` = one validation sweep over the target domain, the reference's
+  0-epoch-fit quirk (train_driving_dg.py:166-168).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..eval import MeanAveragePrecision
+from . import steps as step_lib
+from .optim import EarlyStopping, OptConfig, ReduceLROnPlateau, init_opt_state
+
+
+def save_checkpoint(path: str, params, opt_state, meta: Dict[str, Any]):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": serialization.to_bytes(params),
+        "opt_state": serialization.to_bytes(opt_state),
+        "meta": meta,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, params_template, opt_state_template):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = serialization.from_bytes(params_template, payload["params"])
+    opt_state = serialization.from_bytes(opt_state_template, payload["opt_state"])
+    return params, opt_state, payload.get("meta", {})
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        train_loader,
+        val_loader,
+        reg_weights=(0.5, 0.5, 0.5, 0.05, 1e-4),
+        dg: bool = True,
+        max_epochs: int = 100,
+        ckpt_path: str = "checkpoints/model.ckpt",
+        seed: int = 42,
+        log_every: int = 50,
+    ):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.reg_weights = tuple(reg_weights)
+        self.dg = dg
+        self.max_epochs = max_epochs
+        self.ckpt_path = ckpt_path
+        self.log_every = log_every
+
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, init_key = jax.random.split(self.rng)
+        self.params = model.init(init_key)
+        self.opt_config, self.base_lr = step_lib.make_optimizer(model.name)
+        self.opt_state = init_opt_state(self.params, self.opt_config)
+
+        modes = (0, 1, 2, 3, 4) if dg else (0,)
+        self.steps = {
+            m: step_lib.make_train_step(
+                model, m, self.reg_weights, self.opt_config, self.base_lr,
+                self.params,
+            )
+            for m in modes
+        }
+        self.eval_step = step_lib.make_eval_step(model)
+        self.scheduler = step_lib.ModeScheduler(dg)
+        self.plateau = ReduceLROnPlateau()
+        self.early_stop = EarlyStopping()
+        self.best_val = -float("inf")
+        self.global_step = 0
+
+        # warm start (train_driving_dg.py:154-155)
+        if os.path.exists(self.ckpt_path):
+            self.params, self.opt_state, meta = load_checkpoint(
+                self.ckpt_path, self.params, self.opt_state
+            )
+            self.best_val = meta.get("val_acc", -float("inf"))
+            print(f"warm-started from {self.ckpt_path} (val_acc={self.best_val})")
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self) -> Dict[str, float]:
+        t0 = time.time()
+        n_images = 0
+        last_metrics = {}
+        for batch in self.train_loader.epoch():
+            mode = self.scheduler.next_mode()
+            self.rng, key = jax.random.split(self.rng)
+            self.params, self.opt_state, metrics = self.steps[mode](
+                self.params, self.opt_state, batch, key, self.plateau.scale
+            )
+            n_images += batch["image"].shape[0]
+            self.global_step += 1
+            if self.global_step % self.log_every == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                print(
+                    f"step {self.global_step} mode {mode} "
+                    f"loss {last_metrics.get('loss', float('nan')):.4f}"
+                )
+        dt = time.time() - t0
+        return {"images_per_sec": n_images / max(dt, 1e-9), **last_metrics}
+
+    def validate(self, loader=None) -> Dict[str, Any]:
+        loader = loader or self.val_loader
+        metric = MeanAveragePrecision()
+        for batch in loader:
+            dets = self.eval_step(self.params, batch)
+            n_real = batch.get("num_real", batch["image"].shape[0])
+            for i in range(n_real):
+                metric.update(
+                    np.asarray(dets["boxes"][i]),
+                    np.asarray(dets["scores"][i]),
+                    np.asarray(dets["labels"][i]),
+                    np.asarray(batch["boxes"][i]),
+                    np.asarray(batch["labels"][i]),
+                    pred_valid=np.asarray(dets["valid"][i]),
+                    gt_valid=np.asarray(batch["gt_valid"][i]),
+                )
+        return metric.compute()
+
+    def fit(self):
+        for epoch in range(self.max_epochs):
+            train_stats = self.train_epoch()
+            val = self.validate()
+            val_acc = val["map_50"]
+            print(
+                f"epoch {epoch}: val mAP@0.5 {val_acc:.4f} "
+                f"({train_stats['images_per_sec']:.2f} img/s) "
+                f"per-class {val['map_per_class']}"
+            )
+            if val_acc > self.best_val:
+                self.best_val = val_acc
+                save_checkpoint(
+                    self.ckpt_path, self.params, self.opt_state,
+                    {"val_acc": val_acc, "epoch": epoch},
+                )
+            self.plateau.step(val_acc)
+            if self.early_stop.step(val_acc):
+                print(f"early stopping at epoch {epoch}")
+                break
+        return self.best_val
+
+    def test(self, test_loader) -> Dict[str, Any]:
+        """Reload the best checkpoint and sweep the target domain
+        (train_driving_dg.py:166-168)."""
+        if os.path.exists(self.ckpt_path):
+            self.params, self.opt_state, _ = load_checkpoint(
+                self.ckpt_path, self.params, self.opt_state
+            )
+        result = self.validate(test_loader)
+        print(f"test mAP@0.5 {result['map_50']:.4f} per-class {result['map_per_class']}")
+        return result

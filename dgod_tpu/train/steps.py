@@ -1,0 +1,102 @@
+"""Jit-compiled train/eval steps — one compiled variant per DG mode.
+
+The reference's training_step is a host-side 5-way branch with hook state
+(DGFRCNN.py:111-201, DGFCOS.py:155-241); here every mode is a pure function
+`(params, opt_state, batch, rng, lr_scale) -> (params, opt_state, metrics)`
+compiled once. The optimizer participation mask per mode is *static*
+(train/optim.py), matching torch's grad-is-None skip semantics exactly.
+
+`ModeScheduler` reproduces the mode/sub_mode state machine
+(DGFRCNN.py:128-143): in 'dg' mode the step sequence over duplicated
+batches is 0,1,0,2,0,3,0,4 repeating; in 'non_dg' it is always 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .optim import OptConfig, apply_updates, init_opt_state
+
+MODE_ACTIVE_GROUPS = {
+    0: ("detector",),
+    1: ("detector", "image_da", "ins_da"),
+    2: ("ins_cls",),
+    3: ("detector", "ins_cls_prime"),
+    4: ("detector",),
+}
+
+
+class ModeScheduler:
+    """Host-side replica of the reference mode/sub_mode machine."""
+
+    def __init__(self, dg: bool):
+        self.dg = dg
+        self._cycle = (0, 1, 0, 2, 0, 3, 0, 4)
+        self._i = 0
+
+    def next_mode(self) -> int:
+        if not self.dg:
+            return 0
+        mode = self._cycle[self._i]
+        self._i = (self._i + 1) % len(self._cycle)
+        return mode
+
+    def reset(self):
+        self._i = 0
+
+
+def build_active_mask(labels, mode: int):
+    """Static pytree of python bools from group labels."""
+    active_groups = MODE_ACTIVE_GROUPS[mode]
+    return jax.tree.map(lambda lbl: lbl in active_groups, labels)
+
+
+def make_train_step(
+    model,
+    mode: int,
+    reg_weights: Sequence[float],
+    opt_config: OptConfig,
+    base_lr: float,
+    params_template,
+    donate: bool = True,
+):
+    """Returns jitted step(params, opt_state, batch, rng, lr_scale)."""
+    labels = model.param_group_labels(params_template)
+    active = build_active_mask(labels, mode)
+    reg_weights = tuple(float(w) for w in reg_weights)
+
+    def step(params, opt_state, batch, rng, lr_scale):
+        def loss_fn(p):
+            return model.loss_for_mode(p, batch, rng, mode, reg_weights)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt = apply_updates(
+            params, grads, opt_state, active, base_lr * lr_scale, opt_config
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = total
+        return new_params, new_opt, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model):
+    def step(params, batch):
+        return model.predict(params, batch)
+
+    return jax.jit(step)
+
+
+def make_optimizer(model_name: str) -> tuple[OptConfig, float]:
+    """Reference hyperparams: FRCNN SGD(2e-3, wd 5e-4) (DGFRCNN.py:85-86),
+    FCOS Adam(1e-4, wd 1e-4) (DGFCOS.py:123-124)."""
+    if model_name == "FRCNN":
+        return OptConfig("sgd", weight_decay=5e-4), 2e-3
+    if model_name == "FCOS":
+        return OptConfig("adam", weight_decay=1e-4), 1e-4
+    raise ValueError(model_name)

@@ -1,0 +1,101 @@
+import numpy as np
+
+from dgod_tpu.data import transforms as T
+from dgod_tpu.data.dataset import (ConcatDataset, SyntheticDataset,
+                                   decode_boxes_string, decode_labels_string,
+                                   sanitize_boxes)
+from dgod_tpu.data.loader import EvalLoader, TrainLoader, epoch_batch_indices
+
+
+def test_decode_strings():
+    b = decode_boxes_string("10 20 30 40;5 5 15 25")
+    np.testing.assert_array_equal(b, [[10, 20, 30, 40], [5, 5, 15, 25]])
+    assert decode_boxes_string("no_box").shape == (0, 4)
+    assert decode_boxes_string("garbage strings here").shape == (0, 4)
+    # negative coords clip to 0 (DrivingDataset.py:101)
+    np.testing.assert_array_equal(
+        decode_boxes_string("-5 1 10 10"), [[0, 1, 10, 10]]
+    )
+    np.testing.assert_array_equal(decode_labels_string("1;2;8"), [1, 2, 8])
+    assert decode_labels_string("no_label").shape == (0,)
+
+
+def test_sanitize_boxes_bdd_fixups():
+    boxes = np.array([[0, 0, 2000, 40], [10, 10, 10, 20]], np.float32)
+    out = sanitize_boxes(boxes, height=100, width=200)
+    assert out[0, 2] == 199  # clip to width-1
+    assert out[1, 0] == 9 and out[1, 2] == 10  # degenerate x fixed by x1-=1
+
+
+def test_train_example_resize_and_boxes():
+    img = np.zeros((300, 600, 3), np.uint8)
+    boxes = np.array([[60, 30, 300, 150]], np.float32)  # scales x2 both dims
+    labels = np.array([1], np.int32)
+    rng = np.random.RandomState(1)
+    ex = T.train_example(img, boxes, labels, 0, rng)
+    assert ex.image.shape == (*T.CANVAS, 3)
+    assert ex.gt_valid.sum() == 1
+    b = ex.boxes[0]
+    # either flipped or not; y coords always scale x2
+    assert b[1] == 60 and b[3] == 300
+    assert (b[0], b[2]) in {(120.0, 600.0), (600.0, 1080.0)}
+
+
+def test_train_example_min_area_filter():
+    img = np.zeros((600, 1200, 3), np.uint8)
+    boxes = np.array([[0, 0, 3, 3], [0, 0, 100, 100]], np.float32)
+    labels = np.array([1, 2], np.int32)
+    ex = T.train_example(img, boxes, labels, 0, np.random.RandomState(0))
+    assert ex.gt_valid.sum() == 1
+    assert ex.labels[0] == 2
+
+
+def test_eval_example_scales():
+    img = np.zeros((1024, 2048, 3), np.uint8)
+    boxes = np.array([[100, 100, 400, 300]], np.float32)
+    ex = T.eval_example(img, boxes, np.array([1], np.int32), 0,
+                        resize_to_train_size=False)
+    # 1024x2048 -> min(600/1024, 1200/2048) -> 600x1200 content
+    np.testing.assert_allclose(ex.image_size, [600, 1200])
+    np.testing.assert_allclose(ex.scale_back, [1024 / 600, 2048 / 1200])
+    # GT stays in original frame
+    np.testing.assert_allclose(ex.boxes[0], [100, 100, 400, 300])
+
+
+def test_epoch_batch_indices_dg_duplicates():
+    rng = np.random.RandomState(0)
+    batches = epoch_batch_indices(20, 4, dg=True, rng=rng)
+    assert len(batches) == 10
+    for i in range(0, 10, 2):
+        np.testing.assert_array_equal(batches[i], batches[i + 1])
+    batches_nd = epoch_batch_indices(20, 4, dg=False, rng=rng)
+    assert len(batches_nd) == 5
+
+
+def test_train_loader_dg_pairs_identical():
+    ds = SyntheticDataset(12, domain=0)
+    loader = TrainLoader(ds, 4, dg=True, seed=0, num_workers=2)
+    batches = list(loader.epoch())
+    assert len(batches) == 6
+    for i in range(0, 6, 2):
+        np.testing.assert_array_equal(batches[i]["image"], batches[i + 1]["image"])
+        np.testing.assert_array_equal(batches[i]["boxes"], batches[i + 1]["boxes"])
+    assert batches[0]["image"].shape == (4, *T.CANVAS, 3)
+
+
+def test_concat_dataset_and_domains():
+    d0 = SyntheticDataset(3, domain=0)
+    d1 = SyntheticDataset(5, domain=1)
+    cat = ConcatDataset([d0, d1])
+    assert len(cat) == 8
+    assert cat[2][3] == 0
+    assert cat[3][3] == 1
+    assert cat[7][3] == 1
+
+
+def test_eval_loader_tail_batch():
+    ds = SyntheticDataset(5, domain=0)
+    loader = EvalLoader(ds, batch_size=2, resize_to_train_size=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1].get("num_real") == 1

@@ -31,7 +31,7 @@ def test_focal_loss_matches_reference_formula():
     p_t = p * tt + (1 - p) * (1 - tt)
     ref = ce * ((1 - p_t) ** 2)
     ref = (0.25 * tt + 0.75 * (1 - tt)) * ref
-    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-3, atol=1e-4)
 
 
 def test_smooth_l1_matches_torch_beta():
@@ -42,7 +42,7 @@ def test_smooth_l1_matches_torch_beta():
     ref = F.smooth_l1_loss(
         torch.tensor(a), torch.tensor(b), beta=1 / 9, reduction="none"
     ).numpy()
-    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
 
 def test_softmax_ce_matches_torch():
@@ -53,7 +53,7 @@ def test_softmax_ce_matches_torch():
     ref = F.cross_entropy(
         torch.tensor(logits), torch.tensor(labels), reduction="none"
     ).numpy()
-    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
 
 def test_softmax_ce_dense_matches_torch():
