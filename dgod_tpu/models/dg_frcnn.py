@@ -127,7 +127,9 @@ class DGFRCNNModel:
                 fwd["objectness"], fwd["deltas"], batch["boxes"],
                 batch["gt_valid"], fwd["rpn_rng"],
             )
-            logits, box_reg = det.box_predictions(params, fwd["box_features"])
+            logits, box_reg = det.box_predictions(
+                params["detector"], fwd["box_features"]
+            )
             cls_loss, box_loss = det.roi_loss(
                 logits, box_reg, fwd["roi_labels"], fwd["reg_targets"],
                 fwd["roi_valid"],
@@ -206,7 +208,7 @@ class DGFRCNNModel:
             objectness, deltas, batch["image_size"], training=False
         )
         box_feats = det.box_features(params["detector"], feats, proposals)
-        logits, box_reg = det.box_predictions(params, box_feats)
+        logits, box_reg = det.box_predictions(params["detector"], box_feats)
         return det.postprocess(
             logits, box_reg, proposals, prop_valid,
             batch["image_size"], batch["scale_back"],

@@ -4,7 +4,15 @@ assignment semantics."""
 import numpy as np
 import jax.numpy as jnp
 
-from dgod_tpu.ops.roi_align import multiscale_roi_align
+from functools import partial
+
+import jax
+
+from dgod_tpu.ops.roi_align import multiscale_roi_align as _mra
+
+
+def multiscale_roi_align(feats, rois, strides, **kw):
+    return jax.jit(lambda f, r: _mra(list(f), r, strides, **kw))(tuple(feats), rois)
 
 
 def linear_feature(h, w, c=1):
