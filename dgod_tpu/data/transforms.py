@@ -55,7 +55,8 @@ def _pad_annotations(boxes: np.ndarray, labels: np.ndarray, max_gt: int = MAX_GT
     return out_b, out_l, valid
 
 
-def _place_on_canvas(img: np.ndarray, canvas_hw=CANVAS) -> np.ndarray:
+def _place_on_canvas(img: np.ndarray, canvas_hw=None) -> np.ndarray:
+    canvas_hw = canvas_hw or CANVAS  # late-bound: tests patch the module global
     out = np.zeros((canvas_hw[0], canvas_hw[1], 3), img.dtype)
     out[: img.shape[0], : img.shape[1]] = img
     return out
