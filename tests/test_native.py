@@ -1,0 +1,49 @@
+"""Native data-path library: build, bind, and match the numpy/cv2 path."""
+import numpy as np
+import pytest
+
+from dgod_tpu.data import native as N
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not N.available():
+        pytest.skip("native library unavailable (no g++?)")
+    return N.get_lib()
+
+
+def test_parse_boxes_matches_reference_decode(lib):
+    out = N.parse_boxes("10 20 30 40;-5 1 7 9")
+    np.testing.assert_array_equal(out, [[10, 20, 30, 40], [0, 1, 7, 9]])
+    assert N.parse_boxes("no_box").shape == (0, 4)
+    assert N.parse_boxes("bad data !").shape == (0, 4)
+    # float inputs are int-truncated like the reference decode
+    np.testing.assert_array_equal(N.parse_boxes("1.7 2.9 3.1 4.9"), [[1, 2, 3, 4]])
+
+
+def test_parse_labels(lib):
+    np.testing.assert_array_equal(N.parse_labels("1;5;8"), [1, 5, 8])
+    assert N.parse_labels("no_label").shape == (0,)
+    assert N.parse_labels("oops").shape == (0,)
+
+
+def test_prepare_image_matches_cv2(lib):
+    import cv2
+
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 255, (60, 120, 3), np.uint8)
+    out = N.prepare_image(src, (64, 128), (30, 60), flip=False)
+    ref = np.zeros((64, 128, 3), np.uint8)
+    ref[:30, :60] = cv2.resize(src, (60, 30), interpolation=cv2.INTER_LINEAR)
+    # bilinear rounding may differ by 1 lsb
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    # padding must be zero
+    assert out[30:].sum() == 0 and out[:, 60:].sum() == 0
+
+
+def test_prepare_image_flip(lib):
+    src = np.zeros((10, 10, 3), np.uint8)
+    src[:, :5] = 255  # left half white
+    out = N.prepare_image(src, (10, 10), (10, 10), flip=True)
+    assert out[:, :5].sum() == 0
+    assert (out[:, 5:] == 255).all()
