@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -21,11 +21,13 @@ class FRCNNBackbone(nn.Module):
     """
 
     out_channels: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Tuple[List[jnp.ndarray], Dict[str, jnp.ndarray]]:
-        c = ResNet50(name="body")(x)
-        ps = FPN(self.out_channels, name="fpn")([c["c2"], c["c3"], c["c4"], c["c5"]])
+        c = ResNet50(name="body", dtype=self.dtype)(x)
+        ps = FPN(self.out_channels, name="fpn", dtype=self.dtype)(
+            [c["c2"], c["c3"], c["c4"], c["c5"]])
         pool = LastLevelMaxPool(name="pool")(ps[-1])
         return ps + [pool], c
 
@@ -39,10 +41,12 @@ class FCOSBackbone(nn.Module):
     """
 
     out_channels: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Tuple[List[jnp.ndarray], Dict[str, jnp.ndarray]]:
-        c = ResNet50(name="body")(x)
-        ps = FPN(self.out_channels, name="fpn")([c["c3"], c["c4"], c["c5"]])
-        p6, p7 = LastLevelP6P7(self.out_channels, name="p6p7")(ps[-1])
+        c = ResNet50(name="body", dtype=self.dtype)(x)
+        ps = FPN(self.out_channels, name="fpn", dtype=self.dtype)(
+            [c["c3"], c["c4"], c["c5"]])
+        p6, p7 = LastLevelP6P7(self.out_channels, name="p6p7", dtype=self.dtype)(ps[-1])
         return ps + [p6, p7], c

@@ -51,12 +51,14 @@ class DGFCOSModel:
         num_domains: int = 3,
         canvas: Tuple[int, int] = (608, 1216),
         loss_config: FCOSLossConfig = FCOSLossConfig(),
+        compute_dtype=jnp.bfloat16,
     ):
         self.num_classes = num_classes
         self.num_domains = num_domains
         self.canvas = canvas
         self.loss_config = loss_config
-        self.detector = FCOS(num_classes)
+        self.compute_dtype = compute_dtype
+        self.detector = FCOS(num_classes, dtype=compute_dtype)
         self.image_da = dg_heads.ImageDA(num_domains)
         self.ins_da = dg_heads.fcos_instance_da(num_domains)
         self.ins_cls = dg_heads.DomainBank(
@@ -149,8 +151,12 @@ class DGFCOSModel:
         if mode == 1:
             # DGFCOS.py:188-200
             _, aux = self.forward(params, batch["image"])
-            img_da = self.image_da.apply({"params": params["image_da"]}, aux["c5"])
-            ins_da = self.ins_da.apply({"params": params["ins_da"]}, aux["ins_feat"])
+            img_da = self.image_da.apply(
+                {"params": params["image_da"]}, aux["c5"].astype(jnp.float32)
+            )
+            ins_da = self.ins_da.apply(
+                {"params": params["ins_da"]}, aux["ins_feat"].astype(jnp.float32)
+            )
             domain = batch["domain"]
             l_img = jnp.mean(loss_ops.softmax_cross_entropy(img_da, domain))
             dom_per_loc = jnp.broadcast_to(domain[:, None], ins_da.shape[:2])
@@ -163,6 +169,7 @@ class DGFCOSModel:
 
         # modes 2/3/4 need ins_feat + dense matcher targets
         _, aux = self.forward(params, batch["image"])
+        aux["ins_feat"] = aux["ins_feat"].astype(jnp.float32)
         gt_classes = self._gt_classes(batch)  # [B, R, C]
         domain = batch["domain"]
 

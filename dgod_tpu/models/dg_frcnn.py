@@ -39,12 +39,14 @@ class DGFRCNNModel:
         num_domains: int = 3,
         canvas: Tuple[int, int] = (608, 1216),
         config: FRCNNConfig = None,
+        compute_dtype=jnp.bfloat16,
     ):
         self.num_classes = num_classes
         self.num_domains = num_domains
         self.canvas = canvas
+        self.compute_dtype = compute_dtype
         cfg = config or FRCNNConfig(num_classes=num_classes)
-        self.detector = FRCNNDetector(cfg, canvas)
+        self.detector = FRCNNDetector(cfg, canvas, dtype=compute_dtype)
         self.image_da = dg_heads.ImageDAFPN(num_domains)
         self.ins_da = dg_heads.frcnn_instance_da(num_domains)
         self.ins_cls = dg_heads.DomainBank(
@@ -149,7 +151,7 @@ class DGFRCNNModel:
 
         if mode == 1:
             # DGFRCNN.py:145-158
-            p2 = fwd["feats"][0]
+            p2 = fwd["feats"][0].astype(jnp.float32)
             img_da = self.image_da.apply({"params": params["image_da"]}, p2)  # [B,D]
             flat = box_feats.reshape(B * S, -1)
             ins_da = self.ins_da.apply({"params": params["ins_da"]}, flat)  # [B*S,D]

@@ -58,15 +58,18 @@ A = len(ASPECT_RATIOS)
 class RPNHeadModule(nn.Module):
     """Shared 3x3 conv + objectness/delta 1x1 convs (torchvision RPNHead)."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]):
         conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)],
-                       kernel_init=RPN_INIT, name="conv")
+                       kernel_init=RPN_INIT, name="conv", dtype=self.dtype)
+        # prediction convs in f32: their outputs feed losses/decoding
         cls = nn.Conv(A, (1, 1), kernel_init=RPN_INIT, name="cls_logits")
         reg = nn.Conv(4 * A, (1, 1), kernel_init=RPN_INIT, name="bbox_pred")
         objectness, deltas = [], []
         for f in feats:
-            t = nn.relu(conv(f))
+            t = nn.relu(conv(f)).astype(jnp.float32)
             B, H, W, _ = t.shape
             objectness.append(cls(t).reshape(B, H * W * A))
             deltas.append(reg(t).reshape(B, H * W * A, 4))
@@ -77,13 +80,16 @@ class TwoMLPHead(nn.Module):
     """fc6/fc7 RoI feature head (fasterrcnn.py:331-352)."""
 
     representation_size: int = 1024
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [..., 7,7,C] or [..., F]
         x = x.reshape(*x.shape[:-3], -1) if x.ndim > 2 else x
-        x = nn.relu(nn.Dense(self.representation_size, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.representation_size, name="fc7")(x))
-        return x
+        x = nn.relu(nn.Dense(self.representation_size, name="fc6",
+                             dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.representation_size, name="fc7",
+                             dtype=self.dtype)(x))
+        return x.astype(jnp.float32)
 
 
 class BoxPredictor(nn.Module):
@@ -124,12 +130,14 @@ class FRCNNConfig(NamedTuple):
 class FRCNNDetector:
     """Functional Faster R-CNN over a static canvas."""
 
-    def __init__(self, config: FRCNNConfig = FRCNNConfig(), canvas=(608, 1216)):
+    def __init__(self, config: FRCNNConfig = FRCNNConfig(), canvas=(608, 1216),
+                 dtype=jnp.float32):
         self.config = config
         self.canvas = canvas
-        self.backbone = FRCNNBackbone()
-        self.rpn_head = RPNHeadModule()
-        self.box_head = TwoMLPHead()
+        self.dtype = dtype
+        self.backbone = FRCNNBackbone(dtype=dtype)
+        self.rpn_head = RPNHeadModule(dtype=dtype)
+        self.box_head = TwoMLPHead(dtype=dtype)
         self.predictor = BoxPredictor(config.num_classes + 1)
 
         shapes = anchor_ops.fpn_feat_shapes(canvas, STRIDES)

@@ -45,28 +45,30 @@ class FCOSHead(nn.Module):
     num_classes: int
     num_convs: int = 4
     prior_probability: float = 0.01
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]):
         cls_tower = [
             (
                 nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=HEAD_INIT,
-                        name=f"cls_conv{i}"),
-                nn.GroupNorm(num_groups=32, name=f"cls_gn{i}"),
+                        name=f"cls_conv{i}", dtype=self.dtype),
+                nn.GroupNorm(num_groups=32, name=f"cls_gn{i}", dtype=self.dtype),
             )
             for i in range(self.num_convs)
         ]
         reg_tower = [
             (
                 nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=HEAD_INIT,
-                        name=f"reg_conv{i}"),
-                nn.GroupNorm(num_groups=32, name=f"reg_gn{i}"),
+                        name=f"reg_conv{i}", dtype=self.dtype),
+                nn.GroupNorm(num_groups=32, name=f"reg_gn{i}", dtype=self.dtype),
             )
             for i in range(self.num_convs)
         ]
         bias_init = nn.initializers.constant(
             -math.log((1 - self.prior_probability) / self.prior_probability)
         )
+        # final prediction convs in f32: loss-facing outputs keep precision
         cls_logits_conv = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
             kernel_init=HEAD_INIT, bias_init=bias_init, name="cls_logits",
@@ -83,11 +85,12 @@ class FCOSHead(nn.Module):
             c = f
             for conv, gn in cls_tower:
                 c = nn.relu(gn(conv(c)))
-            cls_logits = cls_logits_conv(c)  # [B,H,W,C]
+            cls_logits = cls_logits_conv(c.astype(jnp.float32))  # [B,H,W,C]
 
             r = f
             for conv, gn in reg_tower:
                 r = nn.relu(gn(conv(r)))
+            r = r.astype(jnp.float32)
             bbox_reg = nn.relu(bbox_reg_conv(r))  # [B,H,W,4]
             ctrness = ctrness_conv(r)  # [B,H,W,1]
 
@@ -113,12 +116,13 @@ class FCOS(nn.Module):
     """
 
     num_classes: int = 9
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
-        feats, c_feats = FCOSBackbone(name="backbone")(images)
+        feats, c_feats = FCOSBackbone(name="backbone", dtype=self.dtype)(images)
         cls_logits, bbox_regression, bbox_ctrness = FCOSHead(
-            self.num_classes, name="head"
+            self.num_classes, name="head", dtype=self.dtype
         )(feats)
         ins_feat = jnp.concatenate(
             [f.reshape(f.shape[0], -1, f.shape[-1]) for f in feats], axis=1

@@ -10,7 +10,7 @@ Top-down pathway uses nearest-neighbour upsampling then 3x3 smoothing convs.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +38,14 @@ class FPN(nn.Module):
     """Build P-levels from backbone C-levels (lowest stride first)."""
 
     out_channels: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]) -> List[jnp.ndarray]:
         n = len(feats)
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), kernel_init=FPN_INIT, name=f"lateral{i}")(f)
+            nn.Conv(self.out_channels, (1, 1), kernel_init=FPN_INIT, name=f"lateral{i}",
+                    dtype=self.dtype)(f)
             for i, f in enumerate(feats)
         ]
         # top-down
@@ -59,6 +61,7 @@ class FPN(nn.Module):
                 padding=[(1, 1), (1, 1)],
                 kernel_init=FPN_INIT,
                 name=f"output{i}",
+                dtype=self.dtype,
             )(m)
             for i, m in enumerate(merged)
         ]
@@ -77,6 +80,7 @@ class LastLevelP6P7(nn.Module):
     """P6/P7 from P5 via stride-2 3x3 convs (relu between), FCOS-style."""
 
     out_channels: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, p5: jnp.ndarray):
@@ -87,6 +91,7 @@ class LastLevelP6P7(nn.Module):
             padding=[(1, 1), (1, 1)],
             kernel_init=FPN_INIT,
             name="p6",
+            dtype=self.dtype,
         )(p5)
         p7 = nn.Conv(
             self.out_channels,
@@ -95,5 +100,6 @@ class LastLevelP6P7(nn.Module):
             padding=[(1, 1), (1, 1)],
             kernel_init=FPN_INIT,
             name="p7",
+            dtype=self.dtype,
         )(nn.relu(p6))
         return p6, p7

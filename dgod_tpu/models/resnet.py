@@ -33,6 +33,7 @@ class FrozenBatchNorm(nn.Module):
     """
 
     eps: float = 1e-5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -42,19 +43,22 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("mean", nn.initializers.zeros, (c,))
         var = self.param("var", nn.initializers.ones, (c,))
         inv = scale / jnp.sqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        shift = bias - mean * inv
+        return x * inv.astype(self.dtype) + shift.astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4*features
     strides: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.features, (1, 1), use_bias=False, kernel_init=KERNEL_INIT)(x)
-        out = FrozenBatchNorm(name="bn1")(out)
+        out = nn.Conv(self.features, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
+                      dtype=self.dtype)(x)
+        out = FrozenBatchNorm(name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.features,
@@ -63,11 +67,13 @@ class Bottleneck(nn.Module):
             padding=[(1, 1), (1, 1)],
             use_bias=False,
             kernel_init=KERNEL_INIT,
+            dtype=self.dtype,
         )(out)
-        out = FrozenBatchNorm(name="bn2")(out)
+        out = FrozenBatchNorm(name="bn2", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, kernel_init=KERNEL_INIT)(out)
-        out = FrozenBatchNorm(name="bn3")(out)
+        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
+                      dtype=self.dtype)(out)
+        out = FrozenBatchNorm(name="bn3", dtype=self.dtype)(out)
         if self.downsample:
             identity = nn.Conv(
                 self.features * 4,
@@ -76,16 +82,20 @@ class Bottleneck(nn.Module):
                 use_bias=False,
                 kernel_init=KERNEL_INIT,
                 name="downsample_conv",
+                dtype=self.dtype,
             )(x)
-            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+            identity = FrozenBatchNorm(name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 
 
 class ResNet50(nn.Module):
     """Returns {'c2','c3','c4','c5'} feature maps (strides 4/8/16/32)."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.dtype)
         x = nn.Conv(
             64,
             (7, 7),
@@ -94,8 +104,9 @@ class ResNet50(nn.Module):
             use_bias=False,
             kernel_init=KERNEL_INIT,
             name="conv1",
+            dtype=self.dtype,
         )(x)
-        x = FrozenBatchNorm(name="bn1")(x)
+        x = FrozenBatchNorm(name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -110,6 +121,7 @@ class ResNet50(nn.Module):
                     strides=strides,
                     downsample=(i == 0),
                     name=f"layer{stage}_block{i}",
+                    dtype=self.dtype,
                 )(x)
             feats[f"c{stage + 1}"] = x
         return feats

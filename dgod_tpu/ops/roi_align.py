@@ -132,7 +132,7 @@ def multiscale_roi_align(
         for yi, wy in ((y_lo, wy_lo), (y_hi, wy_hi)):
             for xi, wx in ((x_lo, wx_lo), (x_hi, wx_hi)):
                 idx = flat(yi, xi).reshape(-1)
-                vals = table[idx].reshape(*ok.shape, C)
+                vals = table[idx].reshape(*ok.shape, C).astype(jnp.float32)
                 acc = acc + vals * (w2(wy, wx) * ok)[..., None]
         # mean over the S x S samples -> [chunk, P, P, C]
         return jnp.mean(
