@@ -62,6 +62,7 @@ class Trainer:
         ckpt_path: str = "checkpoints/model.ckpt",
         seed: int = 42,
         log_every: int = 50,
+        metrics_path: str = None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -71,6 +72,9 @@ class Trainer:
         self.max_epochs = max_epochs
         self.ckpt_path = ckpt_path
         self.log_every = log_every
+        from ..utils.logging import MetricsLogger
+
+        self.metrics = MetricsLogger(metrics_path)
 
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_key = jax.random.split(self.rng)
@@ -117,6 +121,9 @@ class Trainer:
             self.global_step += 1
             if self.global_step % self.log_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
+                self.metrics.log(
+                    "train", self.global_step, {"mode": mode, **last_metrics}
+                )
                 print(
                     f"step {self.global_step} mode {mode} "
                     f"loss {last_metrics.get('loss', float('nan')):.4f}"
@@ -147,6 +154,12 @@ class Trainer:
             train_stats = self.train_epoch()
             val = self.validate()
             val_acc = val["map_50"]
+            self.metrics.log(
+                "epoch", epoch,
+                {"val_acc": val_acc,
+                 "images_per_sec": train_stats["images_per_sec"],
+                 "lr_scale": self.plateau.scale},
+            )
             print(
                 f"epoch {epoch}: val mAP@0.5 {val_acc:.4f} "
                 f"({train_stats['images_per_sec']:.2f} img/s) "
