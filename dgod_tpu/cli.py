@@ -49,8 +49,12 @@ def parser_args(argv=None):
                         dest="reg_weights", type=float,
                         default=[0.5, 0.5, 0.5, 0.05, 0.0001])
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--eval_batch_size", type=int, default=1,
+                        help="reference parity is 1; raise for TPU throughput")
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--data_root", type=str, default=".")
+    parser.add_argument("--metrics_path", type=str, default=None,
+                        help="JSONL metrics log (train/val)")
     return parser.parse_args(argv)
 
 
@@ -105,14 +109,15 @@ def main(argv=None):
 
     dg = args.exp == "dg"
     train_loader = TrainLoader(tr_dataset, args.batch_size, dg, seed=SEED)
-    val_loader = EvalLoader(vl_dataset, 1, val_resize)
-    test_loader = EvalLoader(test_dataset, 1, val_resize)
+    val_loader = EvalLoader(vl_dataset, args.eval_batch_size, val_resize)
+    test_loader = EvalLoader(test_dataset, args.eval_batch_size, val_resize)
 
     ckpt = os.path.join(args.weights_folder, args.weights_file + ".ckpt")
     trainer = Trainer(
         model, train_loader, val_loader,
         reg_weights=args.reg_weights, dg=dg,
         max_epochs=args.max_epochs, ckpt_path=ckpt, seed=SEED,
+        metrics_path=args.metrics_path,
     )
     trainer.fit()
     return trainer.test(test_loader)

@@ -1,1 +1,1 @@
-from . import anchors, boxes, losses, matchers, nms  # noqa: F401
+from . import anchors, boxes, losses, matchers, nms, pallas_nms, roi_align  # noqa: F401

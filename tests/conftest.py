@@ -1,7 +1,13 @@
-"""Test config: run everything on a virtual 8-device CPU mesh.
+"""Test config.
 
-Must set XLA flags before jax initialises (the standard JAX fake-multi-device
-trick standing in for a real TPU pod slice).
+- Virtual 8-device CPU mesh available via jax.devices('cpu') (the standard
+  JAX fake-multi-device trick standing in for a pod slice). Note: in the
+  bench environment the *default* backend is a single TPU chip regardless
+  of JAX_PLATFORMS; multi-device tests must request 'cpu' explicitly.
+- Persistent compilation cache: model-sized jit compiles dominate suite
+  runtime; caching makes repeat runs fast.
+
+Must run before jax initialises.
 """
 import os
 
@@ -9,3 +15,15 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dgod_jax_test_cache")
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
