@@ -66,6 +66,8 @@ def main():
     }
     batch = jax.device_put(batch)
 
+    # donate=False: the 5 mode steps share params/opt_state buffers across
+    # compiled programs; donation would invalidate the previous mode's input
     steps = {
         m: step_lib.make_train_step(
             model, m, reg, opt_config, base_lr, params, donate=False

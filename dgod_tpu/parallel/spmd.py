@@ -1,0 +1,73 @@
+"""Explicit-SPMD train step via shard_map.
+
+The default path (train/steps.py under jit + NamedSharding) lets GSPMD
+insert one all-reduce per gradient leaf (~300 for ResNet-50-FPN). This
+variant maps the step over the mesh explicitly and performs ONE fused
+gradient all-reduce on the raveled gradient vector — the classic
+small-tensor-batching optimisation, and the shape collective-latency-bound
+fabrics (and XLA:CPU's in-process rendezvous) want.
+
+Params/optimizer state are replicated; the batch is sharded over 'data'.
+Every replica applies the identical update, keeping replicas bit-consistent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.optim import OptConfig, apply_updates
+from ..train.steps import MODE_ACTIVE_GROUPS, build_active_mask
+
+
+def make_spmd_train_step(
+    model,
+    mode: int,
+    reg_weights,
+    opt_config: OptConfig,
+    base_lr: float,
+    params_template,
+    mesh: Mesh,
+):
+    """jit-compiled step with a single explicit psum over 'data'."""
+    labels = model.param_group_labels(params_template)
+    active = build_active_mask(labels, mode)
+    reg_weights = tuple(float(w) for w in reg_weights)
+    try:
+        from jax import shard_map as _shard_map  # jax >= 0.6 API
+        shard_map = _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def local_step(params, opt_state, batch, rng, lr_scale):
+        def loss_fn(p):
+            return model.loss_for_mode(p, batch, rng, mode, reg_weights)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        flat, unravel = ravel_pytree(grads)
+        flat = jax.lax.pmean(flat, "data")  # ONE fused all-reduce
+        grads = unravel(flat)
+        new_params, new_opt = apply_updates(
+            params, grads, opt_state, active, base_lr * lr_scale, opt_config
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = total
+        metrics = {k: jax.lax.pmean(v, "data") for k, v in metrics.items()}
+        return new_params, new_opt, metrics
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def shard_batch_specs(batch):
+    return {k: P("data") for k in batch}
