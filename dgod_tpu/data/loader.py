@@ -20,6 +20,26 @@ import numpy as np
 from . import transforms as T
 
 
+def device_prefetch(iterator, size: int = 2):
+    """Asynchronously stage upcoming host batches on the device.
+
+    jax.device_put is async; holding `size` batches in flight overlaps the
+    uint8 host->device copy with the previous step's compute (the TPU
+    analogue of the reference's DataLoader worker prefetch).
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(jax.device_put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def epoch_batch_indices(
     n: int, batch_size: int, dg: bool, rng: np.random.RandomState
 ) -> list[np.ndarray]:
@@ -70,9 +90,12 @@ class TrainLoader:
         batches = epoch_batch_indices(
             len(self.dataset), self.batch_size, self.dg, self.rng
         )
-        # in dg mode consecutive duplicate batches must produce IDENTICAL
-        # augmented pixels (same flip), so augmentation seeds key on the
-        # batch *pair* index
+        # dg mode: augmentation seeds key on the batch *pair* index so the
+        # mode-0 and mode-k passes see IDENTICAL pixels. (The reference
+        # re-runs __getitem__ for the duplicate, re-sampling the flip —
+        # DGcommon.py:139-151 guarantees same images, not same augmentation;
+        # replaying identical pixels matches the replay intent and is the
+        # stricter behaviour.)
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = Queue()
 

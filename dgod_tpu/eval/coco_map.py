@@ -85,17 +85,16 @@ class MeanAveragePrecision:
             ious = _iou_matrix(det_b, gt_b)
             gt_taken = np.zeros(len(gt_b), bool)
             matched = np.zeros(len(det_b), bool)
+            min_iou = min(thr, 1.0 - 1e-10)
             for d in range(len(det_b)):
-                best_iou = min(thr, 1.0 - 1e-10)
-                best_g = -1
-                for g in range(len(gt_b)):
-                    if gt_taken[g]:
-                        continue
-                    if ious[d, g] < best_iou:
-                        continue
-                    best_iou = ious[d, g]
-                    best_g = g
-                if best_g >= 0:
+                # pycocotools: best-IoU untaken gt with iou >= thr,
+                # ties resolved to the LAST gt index
+                if not len(gt_b):
+                    break
+                cand = np.where(gt_taken, -1.0, ious[d])
+                mx = cand.max()
+                if mx >= min_iou:
+                    best_g = len(cand) - 1 - int(np.argmax(cand[::-1]))
                     gt_taken[best_g] = True
                     matched[d] = True
             all_scores.append(det_s)

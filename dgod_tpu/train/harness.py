@@ -108,10 +108,12 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self) -> Dict[str, float]:
+        from ..data.loader import device_prefetch
+
         t0 = time.time()
         n_images = 0
         last_metrics = {}
-        for batch in self.train_loader.epoch():
+        for batch in device_prefetch(self.train_loader.epoch()):
             mode = self.scheduler.next_mode()
             self.rng, key = jax.random.split(self.rng)
             self.params, self.opt_state, metrics = self.steps[mode](
