@@ -44,6 +44,21 @@ def _bilinear_params(coord, size):
     return lo, hi, 1.0 - frac, frac, ~out_of_range
 
 
+def _pack_corners(f: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, C] -> [H, W, 4C]: each cell carries its 2x2 neighbourhood
+    (self, right, down, down-right), edge-replicated.
+
+    Edge replication reproduces torchvision's hi-index clamp
+    (x_hi = min(x_lo+1, W-1)). One gathered row then serves all four
+    bilinear corners — a 4x reduction in gather operations, which is what
+    TPU row-gather throughput is bound by.
+    """
+    right = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
+    down = jnp.concatenate([f[1:], f[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([f, right, down, down_right], axis=-1)
+
+
 def multiscale_roi_align(
     feats: List[jnp.ndarray],  # per level [H_l, W_l, C], finest first
     rois: jnp.ndarray,  # [N, 4] xyxy in image frame
@@ -53,6 +68,7 @@ def multiscale_roi_align(
     canonical_scale: float = 224.0,
     canonical_level: int = 4,
     chunk: int = 256,
+    packed_corners: bool = True,
 ) -> jnp.ndarray:
     """-> [N, output_size, output_size, C]."""
     C = feats[0].shape[-1]
@@ -64,7 +80,12 @@ def multiscale_roi_align(
     for f in feats:
         offsets_list.append(offsets_list[-1] + f.shape[0] * f.shape[1])
     offsets = jnp.asarray(offsets_list[:-1])
-    table = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+    if packed_corners:
+        table = jnp.concatenate(
+            [_pack_corners(f).reshape(-1, 4 * C) for f in feats], axis=0
+        )
+    else:
+        table = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
 
     # level assignment (LevelMapper semantics)
@@ -80,6 +101,20 @@ def multiscale_roi_align(
 
     S = sampling_ratio
     P = output_size
+    PS = P * S
+    M = PS * PS  # total sample points per roi
+
+    # static bin-average pooling matrix [P*P, M] (0.25 weights) — applied as
+    # one MXU matmul instead of a tiny-trailing-dim reshape+mean (TPU pads
+    # dims like 2 and 4 to full lanes, which dominates runtime otherwise)
+    pool_np = np.zeros((P * P, M), np.float32)
+    for py in range(P):
+        for sy in range(S):
+            for px in range(P):
+                for sx in range(S):
+                    s = (py * S + sy) * PS + (px * S + sx)
+                    pool_np[py * P + px, s] = 1.0 / (S * S)
+    pool = jnp.asarray(pool_np)
 
     def align_chunk(args):
         r, lv = args  # [chunk, 4], [chunk]
@@ -97,47 +132,57 @@ def multiscale_roi_align(
         bin_w = roi_w / P
         bin_h = roi_h / P
 
-        # sample coordinates [chunk, P, S]
-        bins = jnp.arange(P, dtype=jnp.float32)
-        sub = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
-        ys = (
-            y1[:, None, None]
-            + bins[None, :, None] * bin_h[:, None, None]
-            + sub[None, None, :] * bin_h[:, None, None]
-        )  # [chunk, P, S]
-        xs = (
-            x1[:, None, None]
-            + bins[None, :, None] * bin_w[:, None, None]
-            + sub[None, None, :] * bin_w[:, None, None]
-        )
+        # sample coordinates along each axis [chunk, PS]
+        steps = (
+            jnp.arange(PS, dtype=jnp.float32) // S
+            + (jnp.arange(PS, dtype=jnp.float32) % S + 0.5) / S
+        )  # bin + centred sub-sample fraction
+        ys = y1[:, None] + steps[None, :] * bin_h[:, None]  # [chunk, PS]
+        xs = x1[:, None] + steps[None, :] * bin_w[:, None]
 
-        y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(ys, h_l[:, None, None])
-        x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(xs, w_l[:, None, None])
+        y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(ys, h_l[:, None])
+        x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(xs, w_l[:, None])
 
         def flat(yi, xi):
-            # [chunk, P, S] x [chunk, P, S] -> [chunk, P, S, P, S]
+            # [chunk, PS] x [chunk, PS] -> [chunk, M] flat sample grid
             return (
-                off[:, None, None, None, None]
-                + yi[:, :, :, None, None] * w_l[:, None, None, None, None]
-                + xi[:, None, None, :, :]
-            )
+                off[:, None, None]
+                + yi[:, :, None] * w_l[:, None, None]
+                + xi[:, None, :]
+            ).reshape(-1, M)
 
         def w2(a, b):
-            return a[:, :, :, None, None] * b[:, None, None, :, :]
+            return (a[:, :, None] * b[:, None, :]).reshape(-1, M)
 
-        ok = (y_ok[:, :, :, None, None] & x_ok[:, None, None, :, :]).astype(
-            jnp.float32
+        ok = (y_ok[:, :, None] & x_ok[:, None, :]).reshape(-1, M).astype(jnp.float32)
+
+        if packed_corners:
+            # one gather per sample point: row carries all 4 corners
+            idx = flat(y_lo, x_lo).reshape(-1)
+            rows = table[idx].reshape(-1, M, 4 * C).astype(jnp.float32)
+            w00 = (w2(wy_lo, wx_lo) * ok)[..., None]
+            w01 = (w2(wy_lo, wx_hi) * ok)[..., None]
+            w10 = (w2(wy_hi, wx_lo) * ok)[..., None]
+            w11 = (w2(wy_hi, wx_hi) * ok)[..., None]
+            acc = (
+                w00 * rows[..., :C]
+                + w01 * rows[..., C : 2 * C]
+                + w10 * rows[..., 2 * C : 3 * C]
+                + w11 * rows[..., 3 * C :]
+            )  # [chunk, M, C]
+        else:
+            acc = 0.0
+            for yi, wy in ((y_lo, wy_lo), (y_hi, wy_hi)):
+                for xi, wx in ((x_lo, wx_lo), (x_hi, wx_hi)):
+                    idx = flat(yi, xi).reshape(-1)
+                    vals = table[idx].reshape(-1, M, C).astype(jnp.float32)
+                    acc = acc + vals * (w2(wy, wx) * ok)[..., None]
+
+        # bin average via MXU: [P*P, M] @ [chunk, M, C] -> [chunk, P*P, C]
+        pooled = jnp.einsum(
+            "bm,cmf->cbf", pool, acc, preferred_element_type=jnp.float32
         )
-        acc = 0.0
-        for yi, wy in ((y_lo, wy_lo), (y_hi, wy_hi)):
-            for xi, wx in ((x_lo, wx_lo), (x_hi, wx_hi)):
-                idx = flat(yi, xi).reshape(-1)
-                vals = table[idx].reshape(*ok.shape, C).astype(jnp.float32)
-                acc = acc + vals * (w2(wy, wx) * ok)[..., None]
-        # mean over the S x S samples -> [chunk, P, P, C]
-        return jnp.mean(
-            acc.reshape(acc.shape[0], P, S, P, S, C), axis=(2, 4)
-        )
+        return pooled.reshape(-1, P, P, C)
 
     N = rois.shape[0]
     if N % chunk == 0 and N > chunk:
