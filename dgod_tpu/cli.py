@@ -55,6 +55,10 @@ def parser_args(argv=None):
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--metrics_path", type=str, default=None,
                         help="JSONL metrics log (train/val)")
+    parser.add_argument("--warmup_steps", type=int, default=0,
+                        help="linear LR warmup; use ~500-1000 when training "
+                             "from scratch (the reference warm-starts COCO "
+                             "weights so its raw lr needs no warmup)")
     return parser.parse_args(argv)
 
 
@@ -117,7 +121,7 @@ def main(argv=None):
         model, train_loader, val_loader,
         reg_weights=args.reg_weights, dg=dg,
         max_epochs=args.max_epochs, ckpt_path=ckpt, seed=SEED,
-        metrics_path=args.metrics_path,
+        metrics_path=args.metrics_path, warmup_steps=args.warmup_steps,
     )
     trainer.fit()
     return trainer.test(test_loader)

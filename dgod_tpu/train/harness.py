@@ -63,6 +63,7 @@ class Trainer:
         seed: int = 42,
         log_every: int = 50,
         metrics_path: str = None,
+        warmup_steps: int = 0,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -75,6 +76,12 @@ class Trainer:
         from ..utils.logging import MetricsLogger
 
         self.metrics = MetricsLogger(metrics_path)
+        # linear LR warmup for from-scratch runs. The reference never needs
+        # it because it always warm-starts from COCO weights
+        # (DGFRCNN.py:81 pretrained=True); at its raw SGD lr 2e-3 a
+        # randomly-initialised Faster R-CNN diverges within a few steps.
+        # 0 (default) = reference-parity behaviour.
+        self.warmup_steps = warmup_steps
 
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_key = jax.random.split(self.rng)
@@ -116,8 +123,11 @@ class Trainer:
         for batch in device_prefetch(self.train_loader.epoch()):
             mode = self.scheduler.next_mode()
             self.rng, key = jax.random.split(self.rng)
+            lr_scale = self.plateau.scale
+            if self.warmup_steps and self.global_step < self.warmup_steps:
+                lr_scale *= (self.global_step + 1) / self.warmup_steps
             self.params, self.opt_state, metrics = self.steps[mode](
-                self.params, self.opt_state, batch, key, self.plateau.scale
+                self.params, self.opt_state, batch, key, lr_scale
             )
             n_images += batch["image"].shape[0]
             self.global_step += 1
