@@ -179,8 +179,12 @@ def multiscale_roi_align(
                     acc = acc + vals * (w2(wy, wx) * ok)[..., None]
 
         # bin average via MXU: [P*P, M] @ [chunk, M, C] -> [chunk, P*P, C]
+        # highest precision: default TPU matmul rounds f32 inputs to bf16,
+        # costing ~1e-3 relative error against torchvision's exact mean
         pooled = jnp.einsum(
-            "bm,cmf->cbf", pool, acc, preferred_element_type=jnp.float32
+            "bm,cmf->cbf", pool, acc,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return pooled.reshape(-1, P, P, C)
 
