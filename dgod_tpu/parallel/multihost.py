@@ -1,0 +1,58 @@
+"""Multi-host (DCN) scale-out helpers.
+
+The reference is single-GPU (SURVEY §2c). On multi-host TPU pods:
+- `initialize()` wires jax.distributed (coordinator discovery via env),
+- `host_shard_range(n)` gives this host's contiguous shard of a dataset so
+  each host's input pipeline loads only its slice (per-host data sharding),
+- `global_mesh(data, model)` builds a mesh over ALL devices (ICI within a
+  slice, DCN across hosts — XLA routes collectives hierarchically).
+
+Eval aggregation across hosts uses `process_allgather` on the small
+per-host detection arrays before the (host-side) mAP computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Idempotent jax.distributed init; no-op on single-process runs."""
+    if jax.process_count() > 1:
+        return  # already initialised
+    try:
+        if coordinator_address or num_processes:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    except Exception:
+        # single-host / no cluster env: stay local
+        pass
+
+
+def host_shard_range(n_examples: int):
+    """This host's [start, stop) slice of a dataset of n_examples."""
+    p = jax.process_index()
+    k = jax.process_count()
+    per = (n_examples + k - 1) // k
+    return p * per, min(n_examples, (p + 1) * per)
+
+
+def global_mesh(model: int = 1):
+    from .mesh import make_mesh
+
+    return make_mesh(jax.devices(), model=model)
+
+
+def all_gather_host_arrays(tree):
+    """Gather per-host numpy pytrees onto every host (eval aggregation)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)
