@@ -16,7 +16,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dgod_jax_test_cache")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_test_cache")
+)
 
 import jax  # noqa: E402
 
