@@ -43,6 +43,7 @@ from ..ops import losses as loss_ops
 from ..ops import matchers
 from ..ops import nms as nms_ops
 from ..ops.roi_align import multiscale_roi_align
+from ..ops.pallas_roi_align import batched_roi_align_tpu
 from .backbone import FRCNNBackbone
 
 RPN_INIT = nn.initializers.normal(0.01)
@@ -298,11 +299,27 @@ class FRCNNDetector:
         """RoIAlign + TwoMLPHead -> [B, S, 1024] (the DG hook feature,
         DGFRCNN.py:89-91)."""
         # RoIAlign uses P2..P5 only (featmap_names '0'-'3', fasterrcnn.py:413)
+        pooled = self.roi_align(feats, rois)  # [B,S,7,7,256]
+        return self.box_head.apply({"params": params["box_head"]}, pooled)
+
+    def roi_align(self, feats, rois):
+        """Multi-scale RoIAlign: Pallas kernel on TPU backends, XLA gather
+        elsewhere (CPU tests / virtual meshes). DGOD_ROI_ALIGN=pallas|xla
+        overrides."""
+        import os
+
+        choice = os.environ.get("DGOD_ROI_ALIGN", "")
+        use_pallas = (
+            choice == "pallas"
+            or (choice != "xla" and jax.default_backend() not in ("cpu",))
+        )
+        if use_pallas:
+            return batched_roi_align_tpu(tuple(feats[:4]), rois, STRIDES[:4])
+
         def per_image(f2, f3, f4, f5, r):
             return multiscale_roi_align([f2, f3, f4, f5], r, STRIDES[:4])
 
-        pooled = jax.vmap(per_image)(*feats[:4], rois)  # [B,S,7,7,256]
-        return self.box_head.apply({"params": params["box_head"]}, pooled)
+        return jax.vmap(per_image)(*feats[:4], rois)
 
     def box_predictions(self, params, box_feats):
         return self.predictor.apply({"params": params["predictor"]}, box_feats)

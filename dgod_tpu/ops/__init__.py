@@ -1,1 +1,10 @@
-from . import anchors, boxes, losses, matchers, nms, pallas_nms, roi_align  # noqa: F401
+from . import (  # noqa: F401
+    anchors,
+    boxes,
+    losses,
+    matchers,
+    nms,
+    pallas_nms,
+    pallas_roi_align,
+    roi_align,
+)

@@ -1,0 +1,460 @@
+"""Pallas TPU multi-scale RoIAlign — per-RoI window DMA + one MXU matmul.
+
+TPU-native kernel for torchvision's C++/CUDA `roi_align` + MultiScaleRoIAlign
+(reference fasterrcnn.py:29,278,413-416; 7x7, sampling_ratio 2,
+aligned=False). Replaces the XLA gather formulation in ops/roi_align.py on
+the FRCNN hot path, where the gather (~45 ms fwd / ~108 ms bwd f32 at train
+shapes) is gather-engine bound, not HBM-bandwidth bound.
+
+Key idea: RoIAlign output is LINEAR in the features and fully separable —
+    pooled[py,px,c] = sum_{y,x} Wy[py,y] * Wx[px,x] * F[y,x,c]
+where Wy/Wx fold the 2x2 sub-sample average AND the bilinear weights
+(at most 4 nonzero cells per output bin per axis). So for each RoI:
+
+  1. DMA a [TH, TW, C] window of the RoI's FPN level from HBM into VMEM
+     (double-buffered across grid steps: the next RoI's first window is
+     in flight while the current one computes).
+  2. Build the combined weight matrix W2 [49, TH*TW] ELEMENTWISE on the
+     VPU directly in its final layout (no reshapes/transposes — each
+     entry is a closed-form function of its (bin, cell) index).
+  3. pooled = W2 @ window  — one [49, TH*TW] x [TH*TW, C] MXU matmul.
+
+Elongated RoIs that exceed one window are handled exactly by tiling the
+sample-point bounding box with [TH, TW] windows and accumulating; the
+FPN LevelMapper area bound (cells_y * cells_x < ~850 at the assigned
+level) keeps the tile count small (1 for typical RoIs, <= ~12 for
+degenerate sliver proposals).
+
+Semantics match ops/roi_align.py (and torchvision aligned=False) exactly:
+sample points outside [-1, size] contribute 0, coordinates clamp at 0 and
+size-1, hi-index clamps at size-1 with frac forced to 0 at the edge, and
+the FPN level is floor(4 + log2(sqrt(area)/224 + 1e-6)) clamped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# window tile (cells of the assigned FPN level). 32x32 covers any RoI whose
+# sample span is <= 30 cells per axis in one tile — i.e. everything except
+# degenerate slivers (LevelMapper guarantees span_y*span_x < ~850 cells).
+TH = 32
+TW = 32
+P = 7  # output bins per axis
+S = 2  # sampling_ratio
+
+
+def _level_meta(rois, strides, sizes, padded, n_levels, canonical_scale=224.0,
+                canonical_level=4):
+    """Vectorised per-RoI metadata (XLA side). rois [R,4] -> dict of [R]."""
+    area = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 0.0)
+    k = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
+    )
+    k_min = int(np.round(np.log2(strides[0])))
+    lvl = jnp.clip(k - k_min, 0, n_levels - 1).astype(jnp.int32)  # [R]
+
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl]
+    hs = jnp.asarray([s[0] for s in sizes], jnp.int32)[lvl]
+    ws = jnp.asarray([s[1] for s in sizes], jnp.int32)[lvl]
+    hps = jnp.asarray([s[0] for s in padded], jnp.int32)[lvl]
+    wps = jnp.asarray([s[1] for s in padded], jnp.int32)[lvl]
+
+    x1 = rois[:, 0] * scales
+    y1 = rois[:, 1] * scales
+    x2 = rois[:, 2] * scales
+    y2 = rois[:, 3] * scales
+    bin_w = jnp.maximum(x2 - x1, 1.0) / P
+    bin_h = jnp.maximum(y2 - y1, 1.0) / P
+
+    def axis_window(c1, bin_sz, size, padded_sz, tile, align=1):
+        # first/last sample coords (samples are monotonically increasing)
+        first = c1 + 0.25 * bin_sz
+        last = c1 + 6.75 * bin_sz
+        lo_min = jnp.minimum(
+            jnp.floor(jnp.clip(first, 0.0)).astype(jnp.int32), size - 1
+        )
+        lo_last = jnp.minimum(
+            jnp.floor(jnp.clip(last, 0.0)).astype(jnp.int32), size - 1
+        )
+        hi_max = jnp.minimum(lo_last + 1, size - 1)
+        o = jnp.clip(lo_min, 0, padded_sz - tile)
+        # Mosaic requires dynamic DMA offsets along the sublane (W) dim to
+        # be 8-aligned; aligning down only widens coverage, and the tile
+        # count below absorbs it
+        o = (o // align) * align
+        n_t = (hi_max - o) // tile + 1  # cdiv(hi_max - o + 1, tile)
+        return o, n_t
+
+    y0, n_ty = axis_window(y1, bin_h, hs, hps, TH)
+    x0, n_tx = axis_window(x1, bin_w, ws, wps, TW, align=8)
+    n_t = n_ty * n_tx
+    # DMA slot of each RoI's first tile under global 2-slot round-robin
+    slot0 = (jnp.cumsum(n_t) - n_t) % 2
+
+    # stacked [field, R]: SMEM pads the minor dim to 128 lanes, so the
+    # minor dim must be R (typically a multiple of 128), not the field count
+    meta_i = jnp.stack(
+        [lvl, y0, x0, n_tx, n_t, slot0, hs, ws, hps, wps], axis=0
+    ).astype(jnp.int32)  # [10, R]
+    meta_f = jnp.stack([y1, x1, bin_h, bin_w], axis=0)  # [4, R]
+    return meta_i, meta_f
+
+
+def _axis_weight(shape, bin_idx, cell_abs, nominal0, span,
+                 c1, bin_sz, size):
+    """Folded bilinear+pool weight, elementwise on a [rows, cols] grid.
+
+    bin_idx: [rows, cols] int (output bin along this axis, 0..6)
+    cell_abs: absolute cell coordinate of this grid entry along the axis
+    nominal0: scalar, first cell this tile is responsible for (coverage)
+    """
+    size_f = size.astype(jnp.float32)
+    cov = (cell_abs >= nominal0) & (cell_abs < nominal0 + span)
+    total = jnp.zeros(shape, jnp.float32)
+    for d in (0, 1):  # the two sub-samples folded into each bin
+        step = bin_idx.astype(jnp.float32) + (d + 0.5) / S
+        coord = c1 + step * bin_sz
+        ok = (coord >= -1.0) & (coord <= size_f)
+        c = jnp.clip(coord, 0.0)
+        lo = jnp.minimum(jnp.floor(c).astype(jnp.int32), size - 1)
+        at_edge = lo >= size - 1
+        frac = jnp.where(at_edge, 0.0, c - lo.astype(jnp.float32))
+        hi = jnp.minimum(lo + 1, size - 1)
+        w = (
+            jnp.where(cell_abs == lo, 1.0 - frac, 0.0)
+            + jnp.where(cell_abs == hi, frac, 0.0)
+        )
+        total = total + jnp.where(ok & cov, w, 0.0)
+    return total * (1.0 / S)
+
+
+def _build_w2(mi, mf, i, ty, tx, y_orig, x_orig, transpose=False):
+    """W2 [49, TH*TW] (or its transpose built directly) for RoI i, tile
+    (ty, tx). Entry [r, k]: r = py*7+px, k = wy*TW+wx (window-local)."""
+    h = mi[6, i]
+    w = mi[7, i]
+    y1 = mf[0, i]
+    x1 = mf[1, i]
+    bin_h = mf[2, i]
+    bin_w = mf[3, i]
+    nom_y = mi[1, i] + ty * TH
+    nom_x = mi[2, i] + tx * TW
+
+    if transpose:
+        shape = (TH * TW, 56)
+        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    else:
+        shape = (56, TH * TW)
+        rr = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    py = rr // P
+    px = rr % P
+    wy_cell = y_orig + kk // TW
+    wx_cell = x_orig + kk % TW
+    wy = _axis_weight(shape, py, wy_cell, nom_y, TH, y1, bin_h, h)
+    wx = _axis_weight(shape, px, wx_cell, nom_x, TW, x1, bin_w, w)
+    w2 = wy * wx
+    return jnp.where(rr < P * P, w2, 0.0)  # rows 49..55 are padding
+
+
+def _fwd_kernel(n_levels, n_rois, mi, mf, *args):
+    level_refs = args[:n_levels]
+    out_ref = args[n_levels]
+    win = args[n_levels + 1]
+    sems = args[n_levels + 2]
+
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def tile_origin(roi, t):
+        n_tx = mi[3, roi]
+        ty = t // n_tx
+        tx = t % n_tx
+        y_orig = jnp.minimum(mi[1, roi] + ty * TH, mi[8, roi] - TH)
+        # x0, TW, and the padded width are all multiples of 8 (sublane
+        # tiling), so the clamped origin is too; hint it for Mosaic
+        x_orig = pl.multiple_of(
+            jnp.minimum(mi[2, roi] + tx * TW, mi[9, roi] - TW), 8
+        )
+        return ty, tx, y_orig, x_orig
+
+    def dma(roi, t, slot):
+        """Async copy descriptor for RoI `roi`, tile `t`, buffer `slot`."""
+        lvl = mi[0, roi]
+        b = roi // n_rois
+        _, _, y_orig, x_orig = tile_origin(roi, t)
+        copies = [
+            pltpu.make_async_copy(
+                ref.at[b, pl.ds(y_orig, TH), pl.ds(x_orig, TW), :],
+                win.at[slot],
+                sems.at[slot],
+            )
+            for ref in level_refs
+        ]
+        return lvl, copies
+
+    def start(roi, t, slot):
+        lvl, copies = dma(roi, t, slot)
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.start()
+
+    def wait(roi, t, slot):
+        lvl, copies = dma(roi, t, slot)
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.wait()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0, 0)
+
+    n_t = mi[4, i]
+    slot0 = mi[5, i]
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    def body(t, _):
+        slot = (slot0 + t) % 2
+        wait(i, t, slot)
+        # keep the pipeline primed: next tile of this RoI, else the next
+        # RoI's first tile (its slot0 equals (slot+1)%2 by the cumsum)
+        @pl.when(t + 1 < n_t)
+        def _():
+            start(i, t + 1, (slot + 1) % 2)
+
+        @pl.when((t + 1 >= n_t) & (i + 1 < nsteps))
+        def _():
+            start(i + 1, 0, (slot + 1) % 2)
+
+        ty, tx, y_orig, x_orig = tile_origin(i, t)
+        w2 = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig)
+        fwin = win[slot].astype(jnp.float32).reshape(TH * TW, -1)
+        out_ref[0] += jax.lax.dot(
+            w2, fwin,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+
+
+def _bwd_kernel(n_levels, n_rois, mi, mf, g_ref, *args):
+    """Sequential read-modify-write scatter: grid over RoIs, per tile
+    DMA-in the f32 grad window, accumulate W2^T @ g, DMA-out. The TPU grid
+    is sequential and every tile round-trips inside its own iteration, so
+    overlapping RoI windows cannot race."""
+    # args: [grad_in x n_levels] [grad_out x n_levels] [gout] [win] [sems];
+    # the grad_in refs alias grad_out — all RMW goes through the out refs
+    grad_refs = args[n_levels : 2 * n_levels]
+    gout = args[2 * n_levels]
+    win = args[2 * n_levels + 1]
+    sems = args[2 * n_levels + 2]
+
+    i = pl.program_id(0)
+
+    def tile_origin(roi, t):
+        n_tx = mi[3, roi]
+        ty = t // n_tx
+        tx = t % n_tx
+        y_orig = jnp.minimum(mi[1, roi] + ty * TH, mi[8, roi] - TH)
+        x_orig = pl.multiple_of(
+            jnp.minimum(mi[2, roi] + tx * TW, mi[9, roi] - TW), 8
+        )
+        return ty, tx, y_orig, x_orig
+
+    def dma(roi, t, to_hbm):
+        lvl = mi[0, roi]
+        b = roi // n_rois
+        _, _, y_orig, x_orig = tile_origin(roi, t)
+        copies = []
+        for ref in grad_refs:
+            window = ref.at[b, pl.ds(y_orig, TH), pl.ds(x_orig, TW), :]
+            if to_hbm:
+                copies.append(pltpu.make_async_copy(win, window, sems.at[0]))
+            else:
+                copies.append(pltpu.make_async_copy(window, win, sems.at[0]))
+        return lvl, copies
+
+    def run(roi, t, to_hbm):
+        lvl, copies = dma(roi, t, to_hbm)
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.start()
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.wait()
+
+    n_t = mi[4, i]
+    g = g_ref[0]  # [56, C] f32 (rows 49..55 zero-padded by caller)
+
+    def body(t, _):
+        run(i, t, to_hbm=False)
+        ty, tx, y_orig, x_orig = tile_origin(i, t)
+        w2t = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig, transpose=True)
+        upd = jax.lax.dot(
+            w2t, g,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TH*TW, C]
+        win[...] = win[...] + upd.reshape(TH, TW, -1)
+        run(i, t, to_hbm=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+    # dummy tiny output so the kernel has a pipelined result (the real
+    # output is written in place via input_output_aliases)
+    gout[0] = jnp.zeros_like(gout[0])
+
+
+def _padded_size(h, w):
+    # width padded to a multiple of 8 so every window origin/clamp along W
+    # stays 8-aligned (Mosaic sublane tiling); both dims at least one tile
+    return max(h, TH), max(-(-w // 8) * 8, TW)
+
+
+def _pad_levels(feats, sizes):
+    padded = []
+    shapes = []
+    for f, (h, w) in zip(feats, sizes):
+        hp, wp = _padded_size(h, w)
+        shapes.append((hp, wp))
+        if (hp, wp) != (h, w):
+            f = jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        padded.append(f)
+    return padded, shapes
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "interpret"))
+def _roi_align_fwd(feats, rois, strides, interpret=False):
+    """feats: tuple of [B,H,W,C] (finest first); rois [B,N,4] ->
+    pooled [B,N,7,7,C] f32."""
+    n_levels = len(feats)
+    B, N = rois.shape[:2]
+    C = feats[0].shape[-1]
+    sizes = [(f.shape[1], f.shape[2]) for f in feats]
+    fpad, psizes = _pad_levels(feats, sizes)
+
+    flat = rois.reshape(B * N, 4)
+    mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * N,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
+        out_specs=pl.BlockSpec(
+            (1, 56, C), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH, TW, C), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_levels, N),
+        out_shape=jax.ShapeDtypeStruct((B * N, 56, C), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(mi, mf, *fpad)
+    return out[:, : P * P].reshape(B, N, P, P, C)
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "interpret"))
+def _roi_align_bwd(feats, rois, g, strides, interpret=False):
+    """g [B,N,7,7,C] f32 -> per-level grads matching feats shapes/dtypes."""
+    n_levels = len(feats)
+    B, N = rois.shape[:2]
+    C = feats[0].shape[-1]
+    sizes = [(f.shape[1], f.shape[2]) for f in feats]
+    psizes = [_padded_size(h, w) for h, w in sizes]
+
+    flat = rois.reshape(B * N, 4)
+    mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels)
+
+    gflat = g.reshape(B * N, P * P, C).astype(jnp.float32)
+    gflat = jnp.pad(gflat, ((0, 0), (0, 56 - P * P), (0, 0)))
+
+    grad_init = [
+        jnp.zeros((B, hp, wp, C), jnp.float32) for hp, wp in psizes
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * N,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 56, C), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_levels,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_levels
+        + [
+            pl.BlockSpec(
+                (1, 8, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TH, TW, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_levels, N),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, hp, wp, C), jnp.float32)
+            for hp, wp in psizes
+        ]
+        + [jax.ShapeDtypeStruct((1, 8, 128), jnp.float32)],
+        grid_spec=grid_spec,
+        input_output_aliases={3 + l: l for l in range(n_levels)},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(mi, mf, gflat, *grad_init)
+    grads = outs[:n_levels]
+    # un-pad and cast back to the feature dtype
+    out = []
+    for gr, f, (h, w) in zip(grads, feats, sizes):
+        out.append(gr[:, :h, :w, :].astype(f.dtype))
+    return tuple(out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def batched_roi_align_tpu(feats, rois, strides, interpret=False):
+    """Multi-scale RoIAlign, batched: feats tuple of [B,H,W,C] (finest
+    first), rois [B,N,4] image-frame xyxy -> [B,N,7,7,C] f32.
+
+    Exact torchvision MultiScaleRoIAlign semantics (aligned=False,
+    sampling_ratio 2; reference fasterrcnn.py:413-416)."""
+    return _roi_align_fwd(tuple(feats), rois, strides, interpret)
+
+
+def _vjp_fwd(feats, rois, strides, interpret):
+    out = _roi_align_fwd(tuple(feats), rois, strides, interpret)
+    return out, (tuple(feats), rois)
+
+
+def _vjp_bwd(strides, interpret, res, g):
+    feats, rois = res
+    df = _roi_align_bwd(feats, rois, g, strides, interpret)
+    return df, jnp.zeros_like(rois)
+
+
+batched_roi_align_tpu.defvjp(_vjp_fwd, _vjp_bwd)

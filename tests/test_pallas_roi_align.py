@@ -1,0 +1,118 @@
+"""Pallas RoIAlign kernel vs the XLA gather reference path.
+
+The XLA path (ops/roi_align.py) is itself analytically tested against
+torchvision semantics in test_roi_align.py; here the Pallas kernel
+(interpret mode on CPU) must match it bit-tightly, forward and backward,
+including the static-shape edge cases: degenerate RoIs, wide/tall sliver
+RoIs spanning multiple window tiles, and out-of-bounds boxes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgod_tpu.ops.roi_align import multiscale_roi_align
+from dgod_tpu.ops.pallas_roi_align import batched_roi_align_tpu
+
+STRIDES = (4, 8, 16, 32)
+CANVAS = (128, 256)
+
+
+def _feats(rng, B, C, dtype=jnp.float32):
+    return tuple(
+        jnp.asarray(
+            rng.randn(B, CANVAS[0] // s, CANVAS[1] // s, C), dtype
+        )
+        for s in STRIDES
+    )
+
+
+def _rois(rng, B, N):
+    rois = np.zeros((B, N, 4), np.float32)
+    specials = [
+        [0, 0, 0, 0],              # degenerate
+        [0, 0, 255, 3],            # wide sliver (multi x-tile)
+        [5, 0, 8, 127],            # tall sliver (multi y-tile)
+        [-10, -10, 300, 300],      # exceeds image, coarsest level
+        [250, 120, 258, 130],      # touches border
+    ]
+    for b in range(B):
+        for i in range(N):
+            if i < len(specials):
+                rois[b, i] = specials[i]
+            else:
+                x1, y1 = rng.uniform(0, 200), rng.uniform(0, 100)
+                w, h = rng.uniform(2, 120), rng.uniform(2, 80)
+                rois[b, i] = [x1, y1, x1 + w, y1 + h]
+    return jnp.asarray(rois)
+
+
+def _xla_ref(feats, rois):
+    return jax.vmap(
+        lambda f0, f1, f2, f3, r: multiscale_roi_align(
+            [f0, f1, f2, f3], r, STRIDES
+        )
+    )(*feats, rois)
+
+
+def test_forward_matches_xla_path():
+    rng = np.random.RandomState(0)
+    feats = _feats(rng, B=2, C=32)
+    rois = _rois(rng, B=2, N=16)
+    ref = _xla_ref(feats, rois)
+    got = batched_roi_align_tpu(feats, rois, STRIDES, True)
+    assert got.shape == ref.shape
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-3
+
+
+def test_backward_matches_xla_vjp():
+    rng = np.random.RandomState(1)
+    feats = _feats(rng, B=1, C=32)
+    rois = _rois(rng, B=1, N=12)
+    g = jnp.asarray(rng.randn(1, 12, 7, 7, 32), jnp.float32)
+
+    _, vjp_ref = jax.vjp(lambda fs: _xla_ref(fs, rois), feats)
+    (dref,) = vjp_ref(g)
+    _, vjp_got = jax.vjp(
+        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, True), feats
+    )
+    (dgot,) = vjp_got(g)
+    for lvl, (a, b) in enumerate(zip(dref, dgot)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3, f"lvl{lvl}"
+
+
+def test_bfloat16_features():
+    rng = np.random.RandomState(2)
+    feats = _feats(rng, B=1, C=32, dtype=jnp.bfloat16)
+    rois = _rois(rng, B=1, N=8)
+    ref = _xla_ref(feats, rois)
+    got = batched_roi_align_tpu(feats, rois, STRIDES, True)
+    assert got.dtype == jnp.float32
+    # bf16 inputs: tolerance scaled to bf16 resolution
+    assert float(jnp.max(jnp.abs(ref - got))) < 3e-2
+    # grads come back in the feature dtype
+    _, vjp = jax.vjp(
+        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, True), feats
+    )
+    (d,) = vjp(jnp.ones_like(ref))
+    assert all(x.dtype == jnp.bfloat16 for x in d)
+
+
+def test_grad_flows_only_to_touched_cells():
+    """A single small RoI must leave grads only at its own level/cells."""
+    rng = np.random.RandomState(3)
+    feats = _feats(rng, B=1, C=8)
+    rois = jnp.asarray([[[40.0, 40.0, 80.0, 80.0]]])  # lvl0 (sqrt area 40)
+    _, vjp = jax.vjp(
+        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, True), feats
+    )
+    (d,) = vjp(jnp.ones((1, 1, 7, 7, 8), jnp.float32))
+    assert float(jnp.abs(d[0]).sum()) > 0
+    for lvl in (1, 2, 3):
+        assert float(jnp.abs(d[lvl]).sum()) == 0.0
+    nz = np.argwhere(np.abs(np.asarray(d[0][0]).sum(-1)) > 0)
+    ys, xs = nz[:, 0], nz[:, 1]
+    assert ys.min() >= 9 and ys.max() <= 21  # 40/4 .. 80/4 (+1 halo)
+    assert xs.min() >= 9 and xs.max() <= 21
