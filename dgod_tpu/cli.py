@@ -55,6 +55,10 @@ def parser_args(argv=None):
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--metrics_path", type=str, default=None,
                         help="JSONL metrics log (train/val)")
+    parser.add_argument("--torch_weights", type=str, default=None,
+                        help="torchvision .pth checkpoint to port as the "
+                             "pretrained init (COCO detector or ImageNet "
+                             "resnet50) — the reference's pretrained=True")
     parser.add_argument("--warmup_steps", type=int, default=0,
                         help="linear LR warmup; use ~500-1000 when training "
                              "from scratch (the reference warm-starts COCO "
@@ -122,6 +126,7 @@ def main(argv=None):
         reg_weights=args.reg_weights, dg=dg,
         max_epochs=args.max_epochs, ckpt_path=ckpt, seed=SEED,
         metrics_path=args.metrics_path, warmup_steps=args.warmup_steps,
+        torch_weights=args.torch_weights,
     )
     trainer.fit()
     return trainer.test(test_loader)

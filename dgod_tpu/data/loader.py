@@ -153,17 +153,37 @@ class EvalLoader:
         return T.eval_example(img, boxes, labels, domain, self.resize, self.max_gt)
 
     def __iter__(self) -> Iterator[dict]:
+        # bounded in-flight window: decoded canvases are ~MBs each, so
+        # submitting the whole dataset up front would accumulate unbounded
+        # host memory whenever eval is slower than decode. Peak undelivered
+        # examples <= window (+ batch being assembled), flat in dataset size.
+        import collections
+
         n = len(self.dataset)
+        window = max(2 * self.num_workers, 4 * self.batch_size)
         with ThreadPoolExecutor(self.num_workers) as pool:
-            futures = [pool.submit(self._load_one, i) for i in range(n)]
-            for start in range(0, n - n % self.batch_size, self.batch_size):
-                group = [futures[start + j].result() for j in range(self.batch_size)]
-                yield T.stack_examples(group)
-            rem = n % self.batch_size
-            if rem:
+            inflight = collections.deque()
+            next_idx = 0
+
+            def fill():
+                nonlocal next_idx
+                while next_idx < n and len(inflight) < window:
+                    inflight.append(pool.submit(self._load_one, next_idx))
+                    next_idx += 1
+
+            fill()
+            group = []
+            while inflight:
+                group.append(inflight.popleft().result())
+                fill()
+                if len(group) == self.batch_size:
+                    yield T.stack_examples(group)
+                    group = []
+            if group:
                 # pad the tail batch by repeating the last example; caller
-                # masks via 'pad' count
-                group = [futures[n - rem + j].result() for j in range(rem)]
-                batch = T.stack_examples(group + [group[-1]] * (self.batch_size - rem))
+                # masks via 'num_real' count
+                rem = len(group)
+                batch = T.stack_examples(
+                    group + [group[-1]] * (self.batch_size - rem))
                 batch["num_real"] = rem
                 yield batch

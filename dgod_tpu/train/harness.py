@@ -64,6 +64,7 @@ class Trainer:
         log_every: int = 50,
         metrics_path: str = None,
         warmup_steps: int = 0,
+        torch_weights: Optional[str] = None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -86,6 +87,23 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_key = jax.random.split(self.rng)
         self.params = model.init(init_key)
+        # pretrained warm-start from a torchvision checkpoint — the
+        # reference's `pretrained=True` COCO init (fasterrcnn.py:320-322) /
+        # ImageNet backbone init (fcos.py:776-783). Skipped when a full
+        # checkpoint resume exists (it would overwrite anyway).
+        if torch_weights and not os.path.exists(ckpt_path):
+            from ..utils import weights as weights_lib
+
+            sd = weights_lib.load_torch_file(torch_weights)
+            family = (model.name if any(k.startswith("backbone.") for k in sd)
+                      else "resnet")
+            stats = weights_lib.port_torchvision(
+                self.params["detector"], sd, family)
+            print(
+                f"ported {stats['merged']} leaves from {torch_weights} "
+                f"({family}); reinitialised: "
+                f"{stats['dropped_class_dependent'] or 'none'}"
+            )
         self.opt_config, self.base_lr = step_lib.make_optimizer(model.name)
         self.opt_state = init_opt_state(self.params, self.opt_config)
 

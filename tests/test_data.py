@@ -99,3 +99,34 @@ def test_eval_loader_tail_batch():
     batches = list(loader)
     assert len(batches) == 3
     assert batches[-1].get("num_real") == 1
+
+
+def test_eval_loader_bounded_inflight():
+    """Backpressure: undelivered decoded examples stay <= the window even
+    when the consumer is slow (submitting the whole dataset up front would
+    make peak host memory linear in dataset size)."""
+    import threading
+
+    class Counting(SyntheticDataset):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.calls = 0
+            self._lock = threading.Lock()
+
+        def __getitem__(self, idx):
+            with self._lock:
+                self.calls += 1
+            return super().__getitem__(idx)
+
+    ds = Counting(64, domain=0, image_hw=(32, 64))
+    loader = EvalLoader(ds, batch_size=2, resize_to_train_size=True,
+                        num_workers=2, max_gt=8)
+    window = max(2 * 2, 4 * 2)
+    consumed = 0
+    for batch in loader:
+        consumed += batch["image"].shape[0]
+        # in-flight refills race slightly; allow the worker count as slack
+        assert ds.calls <= consumed + window + 2, (
+            f"calls {ds.calls} consumed {consumed}"
+        )
+    assert consumed == 64 and ds.calls == 64
