@@ -79,32 +79,36 @@ def bench_family(family: str, batch) -> float:
     opt_state = init_opt_state(params, opt_config)
     reg = (0.5, 0.5, 0.5, 0.05, 1e-4)
 
-    # donate=False: the 5 mode steps share params/opt_state buffers across
-    # compiled programs; donation would invalidate the previous mode's input
+    # production DG path: fused (mode-0 + mode-k) pair steps — 4 pair
+    # programs per cycle = 8 optimizer steps, each batch dispatched once.
+    # donate=False: the 4 pair steps share params/opt_state buffers across
+    # compiled programs; donation would invalidate the previous pair's input
+    pair_modes = tuple(m for m in CYCLE if m != 0)
     steps = {
-        m: step_lib.make_train_step(
-            model, m, reg, opt_config, base_lr, params, donate=False
+        k: step_lib.make_pair_step(
+            model, k, reg, opt_config, base_lr, params, donate=False
         )
-        for m in set(CYCLE)
+        for k in pair_modes
     }
 
     key = jax.random.PRNGKey(0)
     # warmup/compile
-    for m in set(CYCLE):
-        params, opt_state, metrics = steps[m](params, opt_state, batch, key, 1.0)
+    for k in pair_modes:
+        params, opt_state, metrics = steps[k](
+            params, opt_state, batch, key, key, 1.0)
     jax.block_until_ready(metrics["loss"])
 
     n_cycles = 6
     t0 = time.perf_counter()
     for _ in range(n_cycles):
-        for m in CYCLE:
-            params, opt_state, metrics = steps[m](params, opt_state, batch, key, 1.0)
+        for k in pair_modes:
+            params, opt_state, metrics = steps[k](
+                params, opt_state, batch, key, key, 1.0)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    # per reference semantics each image is *visited* twice per cycle pair
-    # (mode-0 + mode-k on the same batch); count optimizer-step images like
-    # the reference's images/sec (BATCH per training_step)
+    # count optimizer-step images like the reference's images/sec (BATCH
+    # per training_step; a fused pair is 2 training steps)
     return n_cycles * len(CYCLE) * BATCH / dt
 
 

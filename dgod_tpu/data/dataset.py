@@ -65,11 +65,15 @@ class DrivingDataset:
     """Map-style dataset over one domain's CSV."""
 
     def __init__(self, csv_file: str, root: str, domain: int):
+        from . import native
+
         ann = pd.read_csv(csv_file)
         self.image_names: List[str] = list(ann["image_name"])
         self.root = root
-        self.boxes = [decode_boxes_string(s) for s in ann["BoxesString"]]
-        self.labels = [decode_labels_string(s) for s in ann["LabelsString"]]
+        # eager decode like the reference (DrivingDataset.py:22-23); the C++
+        # parsers (native.parse_*) fall back to the numpy decoders above
+        self.boxes = [native.parse_boxes(str(s)) for s in ann["BoxesString"]]
+        self.labels = [native.parse_labels(str(s)) for s in ann["LabelsString"]]
         self.domain = domain
 
     def __len__(self):

@@ -78,20 +78,24 @@ def train_example(
     rng: np.random.RandomState,
     max_gt: int = MAX_GT,
 ) -> Example:
-    """Train-time transform: Resize(600x1200) + HFlip(0.5) + min-area filter."""
+    """Train-time transform: Resize(600x1200) + HFlip(0.5) + min-area filter.
+
+    The image path (resize+flip+pad) is ONE fused C++ pass
+    (native.prepare_image, GIL released) with a cv2 fallback.
+    """
+    from . import native
+
     h0, w0 = img.shape[:2]
     th, tw = TRAIN_SIZE
-    img = _resize(img, (th, tw))
+    flip = bool(rng.rand() < 0.5)
     if len(boxes):
         boxes = boxes * np.array([tw / w0, th / h0, tw / w0, th / h0], np.float32)
-    if rng.rand() < 0.5:
-        img = img[:, ::-1]
-        if len(boxes):
+        if flip:
             boxes = np.stack(
                 [tw - boxes[:, 2], boxes[:, 1], tw - boxes[:, 0], boxes[:, 3]], 1
             )
+    img = native.prepare_image(img, CANVAS, (th, tw), flip)
     boxes, labels = _min_area_filter(boxes, labels)
-    img = _place_on_canvas(np.ascontiguousarray(img))
     b, l, v = _pad_annotations(boxes, labels, max_gt)
     return Example(
         img, b, l, v, np.int32(domain),
@@ -117,21 +121,27 @@ def eval_example(
     (the metric compares against originals, DGcommon.py:154-166) and
     `scale_back` maps predictions back.
     """
+    from . import native
+
     h0, w0 = img.shape[:2]
+    resized_first = False
     if resize_to_train_size:
         th, tw = TRAIN_SIZE
-        img = _resize(img, (th, tw))
         if len(boxes):
             boxes = boxes * np.array([tw / w0, th / h0, tw / w0, th / h0], np.float32)
         h0, w0 = th, tw
+        resized_first = True
     # both val pipelines carry bbox_params min_area=20 (train_driving_dg.py:137-142)
     boxes, labels = _min_area_filter(boxes, labels)
 
     # detector-internal aspect-preserving resize
     scale = min(MIN_SIZE / min(h0, w0), MAX_SIZE / max(h0, w0))
     rh, rw = int(h0 * scale), int(w0 * scale)
-    resized = _resize(img, (rh, rw))
-    canvas = _place_on_canvas(resized)
+    if resized_first and (rh, rw) != (h0, w0):
+        # two genuinely different resizes (never at reference geometry:
+        # 600x1200 is already within min600/max1200) — stage then fuse
+        img = _resize(img, (h0, w0))
+    canvas = native.prepare_image(img, CANVAS, (rh, rw), False)
     b, l, v = _pad_annotations(boxes, labels, max_gt)  # original/resized-GT frame
     return Example(
         canvas, b, l, v, np.int32(domain),

@@ -144,12 +144,67 @@ def fcos_ins_cls(num_classes: int, prime: bool) -> MLPHead:
     return MLPHead((128, 64, num_classes), (True, False, False), prime)
 
 
+class _StackedDense(nn.Module):
+    """Dense layer with a leading domain axis on kernel/bias.
+
+    gather path (domain given): select each image's kernel FIRST, then one
+    batched matmul — D x cheaper than evaluating every head and selecting
+    the output (the reference's ModuleList indexing, DGFRCNN.py:78-79,
+    touches one head per image too).
+    all path (domain None): x is [D, B, ..., in]; one einsum over all heads.
+    """
+
+    features: int
+    num_domains: int
+
+    @nn.compact
+    def __call__(self, x, domain=None):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.num_domains, x.shape[-1], self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_domains, self.features)
+        )
+        if domain is None:  # x: [D, B, ..., in]
+            y = jnp.einsum("db...i,dio->db...o", x, kernel)
+            b = bias.reshape((self.num_domains,) + (1,) * (y.ndim - 2)
+                             + (self.features,))
+        else:  # x: [B, ..., in], domain: [B]
+            y = jnp.einsum("b...i,bio->b...o", x, kernel[domain])
+            b = bias[domain].reshape((x.shape[0],) + (1,) * (y.ndim - 2)
+                                     + (self.features,))
+        return y + b
+
+
+class _StackedMLP(nn.Module):
+    """MLPHead with stacked per-domain params (same tree layout as the
+    former nn.vmap bank: fc{i}/kernel [D, in, out])."""
+
+    widths: Sequence[int]
+    relu_mask: Sequence[bool]
+    use_grl: bool
+    num_domains: int
+
+    @nn.compact
+    def __call__(self, x, domain=None):
+        if self.use_grl:
+            x = grad_reverse(x)
+        if domain is None:  # 'all' mode: broadcast over the domain axis
+            x = jnp.broadcast_to(x[None], (self.num_domains,) + x.shape)
+        for i, (w, r) in enumerate(zip(self.widths, self.relu_mask)):
+            x = _StackedDense(w, self.num_domains, name=f"fc{i}")(x, domain)
+            if r:
+                x = nn.relu(x)
+        return jax.nn.sigmoid(x)
+
+
 class DomainBank(nn.Module):
     """A bank of `num_domains` identical heads with stacked params.
 
     apply modes:
       gather(x, domain): apply each image's own-domain head — x [B, ..., F],
-        domain [B] int — one head per image via param gather.
+        domain [B] int — params gathered per image, ONE matmul (not D).
       all(x): apply every head to every image — returns [D, B, ..., out].
     """
 
@@ -158,22 +213,10 @@ class DomainBank(nn.Module):
 
     @nn.compact
     def __call__(self, x, domain=None, mode: str = "gather"):
-        vm = nn.vmap(
-            MLPHead,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=None,
-            out_axes=0,
-            axis_size=self.num_domains,
+        mlp = _StackedMLP(
+            self.head.widths, self.head.relu_mask, self.head.use_grl,
+            self.num_domains, name="bank",
         )
-        all_out = vm(
-            self.head.widths, self.head.relu_mask, self.head.use_grl, name="bank"
-        )(x)  # [D, B, ..., out]
         if mode == "all":
-            return all_out
-        # gather: per image b pick head domain[b]
-        return jnp.take_along_axis(
-            all_out,
-            domain.reshape(1, -1, *([1] * (all_out.ndim - 2))),
-            axis=0,
-        )[0]
+            return mlp(x, None)  # [D, B, ..., out]
+        return mlp(x, domain)

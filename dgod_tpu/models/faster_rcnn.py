@@ -194,7 +194,8 @@ class FRCNNDetector:
                 boxes = box_ops.delta_decode(dl_i[top_idx], anc[top_idx])
                 boxes = box_ops.clip_boxes(boxes, size_i[0], size_i[1])
                 ok = box_ops.small_box_mask(boxes, 1e-3)
-                keep = nms_ops.nms_mask(boxes, top_scores, ok, cfg.rpn_nms_thresh)
+                keep = nms_ops.nms_mask_blocked(
+                    boxes, top_scores, ok, cfg.rpn_nms_thresh)
                 return boxes, jnp.where(keep, top_scores, -jnp.inf), keep
 
             b, s, v = jax.vmap(per_image)(obj, dl, image_sizes)

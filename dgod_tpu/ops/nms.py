@@ -98,6 +98,70 @@ def nms_topk(
     return idx, ok, kept_scores
 
 
+def nms_mask_blocked(
+    boxes: jnp.ndarray,  # [K, 4]
+    scores: jnp.ndarray,  # [K]
+    valid: jnp.ndarray,  # [K] bool
+    iou_threshold: float,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Exact greedy NMS keep-mask via rank-ordered blocks.
+
+    Same result as `nms_mask`, much cheaper at RPN sizes (K~2000): the
+    global fixed point re-reads the full [K,K] overlap matrix every
+    iteration; here blocks are decided in score order, so each outer step
+    reads one [block,K] strip once (suppression by already-DECIDED earlier
+    blocks is a single masked reduction) and the only iteration happens on
+    a [block,block] tile. Total traffic ~= one IoU pass instead of
+    iterations x [K,K].
+    """
+    K = boxes.shape[0]
+    pad = (-K) % block
+    order = _sort_by_score(scores, valid)
+    b = boxes[order]
+    v = valid[order]
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, 4), b.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad,), bool)])
+    Kp = K + pad
+    n_blocks = Kp // block
+    rank = jnp.arange(Kp)
+    local = jnp.arange(block)
+
+    def outer(i, active):
+        start = i * block
+        blk = jax.lax.dynamic_slice_in_dim(b, start, block)  # [block, 4]
+        v_blk = jax.lax.dynamic_slice_in_dim(v, start, block)
+        iou_row = box_ops.box_iou(blk, b)  # [block, Kp]
+        over_row = iou_row > iou_threshold
+        # suppression by kept boxes in earlier (already decided) blocks
+        decided = (rank < start) & active
+        supp_prev = jnp.any(over_row & decided[None, :], axis=1)  # [block]
+        # intra-block fixed point on the [block, block] tile
+        tile = jax.lax.dynamic_slice_in_dim(over_row, start, block, axis=1)
+        tile = tile & (local[:, None] < local[None, :])  # j suppresses r>j
+        base = v_blk & ~supp_prev
+
+        def cond(state):
+            act, changed, it = state
+            return changed & (it < block)
+
+        def body(state):
+            act, _, it = state
+            suppressed = jnp.any(tile & act[:, None], axis=0)
+            new = base & ~suppressed
+            return new, jnp.any(new != act), it + 1
+
+        blk_active, _, _ = jax.lax.while_loop(
+            cond, body, (base, jnp.bool_(True), 0))
+        return jax.lax.dynamic_update_slice_in_dim(
+            active, blk_active, start, axis=0)
+
+    active = jax.lax.fori_loop(0, n_blocks, outer, v)
+    keep = jnp.zeros((K,), bool).at[order].set(active[:K])
+    return keep
+
+
 def _class_offsets(boxes: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Offset boxes per label so different classes never overlap."""
     max_coord = jnp.max(jnp.where(jnp.isfinite(boxes), boxes, 0.0))

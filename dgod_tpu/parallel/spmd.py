@@ -69,5 +69,55 @@ def make_spmd_train_step(
     return jax.jit(mapped)
 
 
+def make_spmd_pair_step(
+    model,
+    mode_k: int,
+    reg_weights,
+    opt_config: OptConfig,
+    base_lr: float,
+    params_template,
+    mesh: Mesh,
+):
+    """Fused DG pair under explicit SPMD: mode-0 then mode-k on the same
+    sharded batch, two sequential updates, one fused all-reduce per half
+    (the single-chip equivalent is train/steps.py::make_pair_step)."""
+    labels = model.param_group_labels(params_template)
+    reg_weights = tuple(float(w) for w in reg_weights)
+    active_by_mode = {m: build_active_mask(labels, m) for m in (0, mode_k)}
+    try:
+        from jax import shard_map as _shard_map  # jax >= 0.6 API
+        shard_map = _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def half(params, opt_state, batch, rng, lr, mode):
+        def loss_fn(p):
+            return model.loss_for_mode(p, batch, rng, mode, reg_weights)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        flat, unravel = ravel_pytree(grads)
+        flat = jax.lax.pmean(flat, "data")
+        new_params, new_opt = apply_updates(
+            params, unravel(flat), opt_state, active_by_mode[mode], lr,
+            opt_config,
+        )
+        return new_params, new_opt, jax.lax.pmean(total, "data")
+
+    def local_step(params, opt_state, batch, rng0, rng1, lr_scale):
+        lr = base_lr * lr_scale
+        params, opt_state, l0 = half(params, opt_state, batch, rng0, lr, 0)
+        params, opt_state, lk = half(params, opt_state, batch, rng1, lr, mode_k)
+        return params, opt_state, {"loss0": l0, "loss": lk}
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def shard_batch_specs(batch):
     return {k: P("data") for k in batch}

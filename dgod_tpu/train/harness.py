@@ -16,38 +16,16 @@ Replaces the reference's PyTorch-Lightning Trainer usage
 from __future__ import annotations
 
 import os
-import pickle
 import time
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
-from flax import serialization
 
 from ..eval import MeanAveragePrecision
 from . import steps as step_lib
+from .checkpoint import make_store
 from .optim import EarlyStopping, OptConfig, ReduceLROnPlateau, init_opt_state
-
-
-def save_checkpoint(path: str, params, opt_state, meta: Dict[str, Any]):
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {
-        "params": serialization.to_bytes(params),
-        "opt_state": serialization.to_bytes(opt_state),
-        "meta": meta,
-    }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f)
-    os.replace(tmp, path)
-
-
-def load_checkpoint(path: str, params_template, opt_state_template):
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
-    params = serialization.from_bytes(params_template, payload["params"])
-    opt_state = serialization.from_bytes(opt_state_template, payload["opt_state"])
-    return params, opt_state, payload.get("meta", {})
 
 
 class Trainer:
@@ -65,6 +43,7 @@ class Trainer:
         metrics_path: str = None,
         warmup_steps: int = 0,
         torch_weights: Optional[str] = None,
+        fused_pairs: bool = True,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -87,11 +66,14 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_key = jax.random.split(self.rng)
         self.params = model.init(init_key)
+        # '.ckpt' -> single-file pickle (reference-parity); else orbax
+        # (async, multihost-correct)
+        self.store = make_store(ckpt_path)
         # pretrained warm-start from a torchvision checkpoint — the
         # reference's `pretrained=True` COCO init (fasterrcnn.py:320-322) /
         # ImageNet backbone init (fcos.py:776-783). Skipped when a full
         # checkpoint resume exists (it would overwrite anyway).
-        if torch_weights and not os.path.exists(ckpt_path):
+        if torch_weights and not self.store.exists():
             from ..utils import weights as weights_lib
 
             sd = weights_lib.load_torch_file(torch_weights)
@@ -107,14 +89,33 @@ class Trainer:
         self.opt_config, self.base_lr = step_lib.make_optimizer(model.name)
         self.opt_state = init_opt_state(self.params, self.opt_config)
 
-        modes = (0, 1, 2, 3, 4) if dg else (0,)
-        self.steps = {
-            m: step_lib.make_train_step(
-                model, m, self.reg_weights, self.opt_config, self.base_lr,
-                self.params,
-            )
-            for m in modes
-        }
+        # fused DG pairs: (mode-0 + mode-k) on the same batch as ONE compiled
+        # program with two sequential optimizer updates — semantically the
+        # reference's replayed-batch schedule, minus one dispatch and one
+        # host decode+transfer per pair.
+        self.fused_pairs = bool(fused_pairs) and dg
+        if self.fused_pairs:
+            self.pair_steps = {
+                k: step_lib.make_pair_step(
+                    model, k, self.reg_weights, self.opt_config, self.base_lr,
+                    self.params,
+                )
+                for k in (1, 2, 3, 4)
+            }
+            self._pair_i = 0
+            # the fused step consumes each batch once; switch off the
+            # loader's duplicate emission (DG replay now happens in-program)
+            if getattr(train_loader, "dg", False):
+                train_loader.dg = False
+        else:
+            modes = (0, 1, 2, 3, 4) if dg else (0,)
+            self.steps = {
+                m: step_lib.make_train_step(
+                    model, m, self.reg_weights, self.opt_config, self.base_lr,
+                    self.params,
+                )
+                for m in modes
+            }
         self.eval_step = step_lib.make_eval_step(model)
         self.scheduler = step_lib.ModeScheduler(dg)
         self.plateau = ReduceLROnPlateau()
@@ -123,10 +124,9 @@ class Trainer:
         self.global_step = 0
 
         # warm start (train_driving_dg.py:154-155)
-        if os.path.exists(self.ckpt_path):
-            self.params, self.opt_state, meta = load_checkpoint(
-                self.ckpt_path, self.params, self.opt_state
-            )
+        loaded = self.store.load_latest(self.params, self.opt_state)
+        if loaded is not None:
+            self.params, self.opt_state, meta = loaded
             self.best_val = meta.get("val_acc", -float("inf"))
             print(f"warm-started from {self.ckpt_path} (val_acc={self.best_val})")
 
@@ -139,17 +139,29 @@ class Trainer:
         n_images = 0
         last_metrics = {}
         for batch in device_prefetch(self.train_loader.epoch()):
-            mode = self.scheduler.next_mode()
-            self.rng, key = jax.random.split(self.rng)
             lr_scale = self.plateau.scale
             if self.warmup_steps and self.global_step < self.warmup_steps:
                 lr_scale *= (self.global_step + 1) / self.warmup_steps
-            self.params, self.opt_state, metrics = self.steps[mode](
-                self.params, self.opt_state, batch, key, lr_scale
-            )
-            n_images += batch["image"].shape[0]
-            self.global_step += 1
-            if self.global_step % self.log_every == 0:
+            if self.fused_pairs:
+                mode = (1, 2, 3, 4)[self._pair_i]
+                self._pair_i = (self._pair_i + 1) % 4
+                self.rng, k0 = jax.random.split(self.rng)
+                self.rng, k1 = jax.random.split(self.rng)
+                self.params, self.opt_state, metrics = self.pair_steps[mode](
+                    self.params, self.opt_state, batch, k0, k1, lr_scale
+                )
+                # two optimizer steps, each visiting the batch once
+                n_images += 2 * batch["image"].shape[0]
+                self.global_step += 2
+            else:
+                mode = self.scheduler.next_mode()
+                self.rng, key = jax.random.split(self.rng)
+                self.params, self.opt_state, metrics = self.steps[mode](
+                    self.params, self.opt_state, batch, key, lr_scale
+                )
+                n_images += batch["image"].shape[0]
+                self.global_step += 1
+            if self.global_step % self.log_every < (2 if self.fused_pairs else 1):
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 self.metrics.log(
                     "train", self.global_step, {"mode": mode, **last_metrics}
@@ -197,23 +209,24 @@ class Trainer:
             )
             if val_acc > self.best_val:
                 self.best_val = val_acc
-                save_checkpoint(
-                    self.ckpt_path, self.params, self.opt_state,
+                self.store.save(
+                    epoch, self.params, self.opt_state,
                     {"val_acc": val_acc, "epoch": epoch},
                 )
             self.plateau.step(val_acc)
             if self.early_stop.step(val_acc):
                 print(f"early stopping at epoch {epoch}")
                 break
+        self.store.wait()
         return self.best_val
 
     def test(self, test_loader) -> Dict[str, Any]:
         """Reload the best checkpoint and sweep the target domain
         (train_driving_dg.py:166-168)."""
-        if os.path.exists(self.ckpt_path):
-            self.params, self.opt_state, _ = load_checkpoint(
-                self.ckpt_path, self.params, self.opt_state
-            )
+        self.store.wait()
+        loaded = self.store.load_latest(self.params, self.opt_state)
+        if loaded is not None:
+            self.params, self.opt_state, _ = loaded
         result = self.validate(test_loader)
         print(f"test mAP@0.5 {result['map_50']:.4f} per-class {result['map_per_class']}")
         return result

@@ -85,6 +85,57 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_pair_step(
+    model,
+    mode_k: int,
+    reg_weights: Sequence[float],
+    opt_config: OptConfig,
+    base_lr: float,
+    params_template,
+    donate: bool = True,
+):
+    """Fused DG pair: mode-0 update then mode-k update on the SAME batch,
+    compiled as ONE program.
+
+    Semantically identical to two sequential make_train_step calls (the
+    reference replays each batch for the mode pair, DGcommon.py:139-151 +
+    DGFRCNN.py:128-143): the mode-k pass sees the mode-0-updated params.
+    Saves one dispatch per pair and — the structural win — the host decodes
+    and transfers each batch ONCE instead of twice.
+
+    Returns jitted step(params, opt_state, batch, rng0, rng1, lr_scale)
+    -> (params, opt_state, metrics) with metrics from both halves.
+    """
+    labels = model.param_group_labels(params_template)
+    reg_weights = tuple(float(w) for w in reg_weights)
+    active_by_mode = {m: build_active_mask(labels, m) for m in (0, mode_k)}
+
+    def half(params, opt_state, batch, rng, lr, mode):
+        def loss_fn(p):
+            return model.loss_for_mode(p, batch, rng, mode, reg_weights)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt = apply_updates(
+            params, grads, opt_state, active_by_mode[mode], lr, opt_config
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = total
+        return new_params, new_opt, metrics
+
+    def step(params, opt_state, batch, rng0, rng1, lr_scale):
+        lr = base_lr * lr_scale
+        params, opt_state, m0 = half(params, opt_state, batch, rng0, lr, 0)
+        params, opt_state, mk = half(params, opt_state, batch, rng1, lr, mode_k)
+        metrics = {f"m0/{k}": v for k, v in m0.items()}
+        metrics.update({f"m{mode_k}/{k}": v for k, v in mk.items()})
+        metrics["loss"] = mk["loss"]
+        metrics["loss0"] = m0["loss"]
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
 def make_eval_step(model):
     def step(params, batch):
         return model.predict(params, batch)

@@ -84,3 +84,36 @@ def test_batched_nms_keeps_classes_separate():
         )
     )
     assert keep.all()  # same box, different class -> both survive
+
+
+def test_blocked_equals_fixed_point_random():
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        K = [60, 256, 300, 511, 512, 900][trial]
+        xy = rng.uniform(0, 400, (K, 2)).astype(np.float32)
+        wh = rng.uniform(5, 120, (K, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1))
+        scores = jnp.asarray(rng.uniform(0, 1, K).astype(np.float32))
+        valid = jnp.asarray(rng.uniform(0, 1, K) > 0.1)
+        a = np.asarray(N.nms_mask(boxes, scores, valid, 0.7))
+        b = np.asarray(N.nms_mask_blocked(boxes, scores, valid, 0.7,
+                                            block=128))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_blocked_suppression_chain_across_blocks():
+    # boxes in a line, each overlapping its neighbour at IoU 0.6 and its
+    # next-next at 0.33: greedy keeps the evens; the chain spans many
+    # blocks so cross-block suppression must propagate exactly
+    K = 640
+    x0 = np.arange(K, dtype=np.float32) * 25.0
+    boxes = jnp.asarray(np.stack([x0, np.zeros(K, np.float32),
+                                  x0 + 100, np.full(K, 50, np.float32)], 1))
+    scores = jnp.asarray(np.linspace(1.0, 0.5, K).astype(np.float32))
+    valid = jnp.ones(K, bool)
+    keep = np.asarray(N.nms_mask_blocked(boxes, scores, valid, 0.5,
+                                           block=64))
+    expect = np.arange(K) % 2 == 0
+    np.testing.assert_array_equal(keep, expect)
+    np.testing.assert_array_equal(
+        keep, np.asarray(N.nms_mask(boxes, scores, valid, 0.5)))

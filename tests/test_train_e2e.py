@@ -66,3 +66,58 @@ def test_fit_and_test_sweep(tmp_path, patched_canvas):
         ckpt_path=ckpt,
     )
     assert trainer2.best_val == best
+
+
+def test_fused_pair_step_equals_sequential(patched_canvas):
+    """make_pair_step(mode0+modek) must reproduce two make_train_step calls
+    exactly (same batch, same rng keys, sequential optimizer updates)."""
+    from dgod_tpu.train import steps as step_lib
+    from dgod_tpu.train.optim import init_opt_state
+
+    model = DGFCOSModel(num_classes=9, num_domains=2, canvas=CANVAS)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_config, base_lr = step_lib.make_optimizer("FCOS")
+    opt_state = init_opt_state(params, opt_config)
+    reg = (0.5, 0.5, 0.5, 0.05, 1e-4)
+
+    rng = np.random.RandomState(3)
+    b = 2
+    boxes = np.zeros((b, 16, 4), np.float32)
+    labels = np.zeros((b, 16), np.int32)
+    valid = np.zeros((b, 16), bool)
+    boxes[:, 0] = [20, 20, 90, 90]
+    labels[:, 0] = 1
+    valid[:, 0] = True
+    batch = {
+        "image": rng.randint(0, 255, (b, *CANVAS, 3), np.uint8),
+        "boxes": boxes, "labels": labels, "gt_valid": valid,
+        "domain": np.arange(b, dtype=np.int32) % 2,
+        "image_size": np.tile(np.float32(CANVAS), (b, 1)),
+        "scale_back": np.ones((b, 2), np.float32),
+    }
+
+    k0, k1 = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+    mode_k = 2
+
+    s0 = step_lib.make_train_step(model, 0, reg, opt_config, base_lr,
+                                  params, donate=False)
+    sk = step_lib.make_train_step(model, mode_k, reg, opt_config, base_lr,
+                                  params, donate=False)
+    p_seq, o_seq, m0 = s0(params, opt_state, batch, k0, 1.0)
+    p_seq, o_seq, mk = sk(p_seq, o_seq, batch, k1, 1.0)
+
+    pair = step_lib.make_pair_step(model, mode_k, reg, opt_config, base_lr,
+                                   params, donate=False)
+    p_fused, o_fused, mf = pair(params, opt_state, batch, k0, k1, 1.0)
+
+    np.testing.assert_allclose(float(mf["loss0"]), float(m0["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mf["loss"]), float(mk["loss"]),
+                               rtol=1e-5)
+    flat_seq = jax.tree_util.tree_leaves_with_path(p_seq)
+    flat_fused = jax.tree_util.tree_leaves_with_path(p_fused)
+    for (path_a, a), (path_b, bb) in zip(flat_seq, flat_fused):
+        assert path_a == path_b
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-5,
+            err_msg=str(path_a))
