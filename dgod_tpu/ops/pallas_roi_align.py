@@ -51,9 +51,19 @@ P = 7  # output bins per axis
 S = 2  # sampling_ratio
 
 
-def _level_meta(rois, strides, sizes, padded, n_levels, canonical_scale=224.0,
-                canonical_level=4):
-    """Vectorised per-RoI metadata (XLA side). rois [R,4] -> dict of [R]."""
+# debug: marks every backward handoff unsafe, i.e. each window's read
+# strictly follows the previous window's write (no DMA/compute overlap)
+_FORCE_SERIAL_BWD = bool(int(__import__("os").environ.get(
+    "DGOD_ROI_ALIGN_SERIAL_BWD", "0")))
+
+
+def _level_meta(rois, strides, sizes, padded, n_levels, b_idx=None,
+                canonical_scale=224.0, canonical_level=4):
+    """Vectorised per-RoI metadata (XLA side). rois [R,4] -> [13,R]/[4,R].
+
+    Rows 0-9 feed both kernels (level, window origins/counts, slot chain,
+    level sizes); rows 10-12 (safe_next, alias_intra, image index) schedule
+    the backward's pipelined read-modify-write."""
     area = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 0.0)
     k = jnp.floor(
         canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
@@ -99,11 +109,39 @@ def _level_meta(rois, strides, sizes, padded, n_levels, canonical_scale=224.0,
     # DMA slot of each RoI's first tile under global 2-slot round-robin
     slot0 = (jnp.cumsum(n_t) - n_t) % 2
 
+    if b_idx is None:
+        b_idx = jnp.zeros((rois.shape[0],), jnp.int32)
+
+    # backward scheduling flags.
+    # safe_next[r]: RoI r+1's full window span cannot alias RoI r's (other
+    # image, other level, or disjoint rects) -> its read may overlap r's
+    # in-flight write. alias_intra[r]: the edge clamp
+    # (origin = min(o + t*tile, padded - tile)) folded consecutive tiles of
+    # RoI r onto each other -> serialize its intra-RoI handoffs.
+    rows_lo = y0
+    rows_hi = jnp.minimum(y0 + (n_ty - 1) * TH, hps - TH) + TH
+    cols_lo = x0
+    cols_hi = jnp.minimum(x0 + (n_tx - 1) * TW, wps - TW) + TW
+    ovl = (
+        (b_idx[:-1] == b_idx[1:]) & (lvl[:-1] == lvl[1:])
+        & (rows_lo[:-1] < rows_hi[1:]) & (rows_lo[1:] < rows_hi[:-1])
+        & (cols_lo[:-1] < cols_hi[1:]) & (cols_lo[1:] < cols_hi[:-1])
+    )
+    safe = jnp.concatenate([~ovl, jnp.ones((1,), bool)]).astype(jnp.int32)
+    alias_intra = (
+        ((n_ty > 1) & (y0 + (n_ty - 1) * TH > hps - TH))
+        | ((n_tx > 1) & (x0 + (n_tx - 1) * TW > wps - TW))
+    ).astype(jnp.int32)
+    if _FORCE_SERIAL_BWD:
+        safe = jnp.zeros_like(safe)
+        alias_intra = jnp.ones_like(alias_intra)
+
     # stacked [field, R]: SMEM pads the minor dim to 128 lanes, so the
     # minor dim must be R (typically a multiple of 128), not the field count
     meta_i = jnp.stack(
-        [lvl, y0, x0, n_tx, n_t, slot0, hs, ws, hps, wps], axis=0
-    ).astype(jnp.int32)  # [10, R]
+        [lvl, y0, x0, n_tx, n_t, slot0, hs, ws, hps, wps,
+         safe, alias_intra, b_idx], axis=0
+    ).astype(jnp.int32)  # [13, R]
     meta_f = jnp.stack([y1, x1, bin_h, bin_w], axis=0)  # [4, R]
     return meta_i, meta_f
 
@@ -251,18 +289,27 @@ def _fwd_kernel(n_levels, n_rois, mi, mf, *args):
 
 
 def _bwd_kernel(n_levels, n_rois, mi, mf, g_ref, *args):
-    """Sequential read-modify-write scatter: grid over RoIs, per tile
-    DMA-in the f32 grad window, accumulate W2^T @ g, DMA-out. The TPU grid
-    is sequential and every tile round-trips inside its own iteration, so
-    overlapping RoI windows cannot race."""
-    # args: [grad_in x n_levels] [grad_out x n_levels] [gout] [win] [sems];
-    # the grad_in refs alias grad_out — all RMW goes through the out refs
+    """Pipelined read-modify-write scatter: grid over RoIs, per tile
+    DMA-in the f32 grad window, accumulate W2^T @ g, DMA-out.
+
+    The serial version's per-tile round trip (read latency + compute +
+    write latency, ~7.5 us) is latency-bound, so the next window's read is
+    issued BEFORE the current compute whenever the two windows cannot
+    alias: same-RoI tiles are disjoint (unless the edge clamp folded them,
+    mi alias_intra), and across RoIs the precomputed safe_next rect test
+    decides — the caller additionally interleaves RoIs across images so
+    adjacent RoIs rarely share an image at all. Only genuinely aliasing
+    neighbours serialize read-after-write exactly."""
+    # args: [grad_in x n_levels] [grad_out x n_levels] [gout] [win]
+    # [rsem] [wsem]; grad_in aliases grad_out — all RMW via the out refs
     grad_refs = args[n_levels : 2 * n_levels]
     gout = args[2 * n_levels]
     win = args[2 * n_levels + 1]
-    sems = args[2 * n_levels + 2]
+    rsem = args[2 * n_levels + 2]
+    wsem = args[2 * n_levels + 3]
 
     i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
 
     def tile_origin(roi, t):
         n_tx = mi[3, roi]
@@ -274,35 +321,79 @@ def _bwd_kernel(n_levels, n_rois, mi, mf, g_ref, *args):
         )
         return ty, tx, y_orig, x_orig
 
-    def dma(roi, t, to_hbm):
+    def dma(roi, t, slot, to_hbm):
         lvl = mi[0, roi]
-        b = roi // n_rois
+        b = mi[12, roi]
         _, _, y_orig, x_orig = tile_origin(roi, t)
         copies = []
         for ref in grad_refs:
             window = ref.at[b, pl.ds(y_orig, TH), pl.ds(x_orig, TW), :]
             if to_hbm:
-                copies.append(pltpu.make_async_copy(win, window, sems.at[0]))
+                copies.append(
+                    pltpu.make_async_copy(win.at[slot], window, wsem.at[slot])
+                )
             else:
-                copies.append(pltpu.make_async_copy(window, win, sems.at[0]))
+                copies.append(
+                    pltpu.make_async_copy(window, win.at[slot], rsem.at[slot])
+                )
         return lvl, copies
 
-    def run(roi, t, to_hbm):
-        lvl, copies = dma(roi, t, to_hbm)
+    def start(roi, t, slot, to_hbm):
+        lvl, copies = dma(roi, t, slot, to_hbm)
         for li, cp in enumerate(copies):
             @pl.when(lvl == li)
             def _():
                 cp.start()
+
+    def wait(roi, t, slot, to_hbm):
+        lvl, copies = dma(roi, t, slot, to_hbm)
         for li, cp in enumerate(copies):
             @pl.when(lvl == li)
             def _():
                 cp.wait()
 
+    @pl.when(i == 0)
+    def _():
+        start(0, 0, 0, False)
+
     n_t = mi[4, i]
+    slot0 = mi[5, i]
     g = g_ref[0]  # [56, C] f32 (rows 49..55 zero-padded by caller)
+    alias_intra = mi[11, i] > 0
 
     def body(t, _):
-        run(i, t, to_hbm=False)
+        slot = (slot0 + t) % 2
+        wait(i, t, slot, False)
+
+        # drain the write that used the OTHER slot (the previous tile)
+        # before the next read overwrites that slot — unless the previous
+        # handoff already waited it on its serialized path (a second wait
+        # on the same semaphore would hang)
+        prev_in_roi = t > 0
+        proi = jnp.where(prev_in_roi, i, i - 1)
+        pt = jnp.where(prev_in_roi, t - 1, mi[4, jnp.maximum(i - 1, 0)] - 1)
+        prev_serialized = jnp.where(
+            prev_in_roi, alias_intra, mi[10, jnp.maximum(i - 1, 0)] == 0
+        )
+
+        @pl.when(((i > 0) | (t > 0)) & ~prev_serialized)
+        def _():
+            wait(proi, pt, (slot + 1) % 2, True)
+
+        have_next_tile = t + 1 < n_t
+        have_next_roi = (t + 1 >= n_t) & (i + 1 < nsteps)
+        safe_cross = mi[10, i] > 0
+
+        # prefetch the next read before compute when it cannot alias this
+        # tile's pending write
+        @pl.when(have_next_tile & ~alias_intra)
+        def _():
+            start(i, t + 1, (slot + 1) % 2, False)
+
+        @pl.when(have_next_roi & safe_cross)
+        def _():
+            start(i + 1, 0, (slot + 1) % 2, False)
+
         ty, tx, y_orig, x_orig = tile_origin(i, t)
         w2t = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig, transpose=True)
         upd = jax.lax.dot(
@@ -310,11 +401,38 @@ def _bwd_kernel(n_levels, n_rois, mi, mf, g_ref, *args):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [TH*TW, C]
-        win[...] = win[...] + upd.reshape(TH, TW, -1)
-        run(i, t, to_hbm=True)
+        new = win[slot] + upd.reshape(TH, TW, -1)
+
+        @pl.when(slot == 0)
+        def _():
+            win[0] = new
+
+        @pl.when(slot == 1)
+        def _():
+            win[1] = new
+
+        start(i, t, slot, True)
+
+        # aliasing handoffs: the next read strictly follows this write
+        @pl.when(have_next_tile & alias_intra)
+        def _():
+            wait(i, t, slot, True)
+            start(i, t + 1, (slot + 1) % 2, False)
+
+        @pl.when(have_next_roi & ~safe_cross)
+        def _():
+            wait(i, t, slot, True)
+            start(i + 1, 0, (slot + 1) % 2, False)
+
         return 0
 
     jax.lax.fori_loop(0, n_t, body, 0)
+
+    # the very last write must drain before the kernel retires
+    @pl.when(i + 1 >= nsteps)
+    def _():
+        wait(i, n_t - 1, (slot0 + n_t - 1) % 2, True)
+
     # dummy tiny output so the kernel has a pipelined result (the real
     # output is written in place via input_output_aliases)
     gout[0] = jnp.zeros_like(gout[0])
@@ -338,12 +456,25 @@ def _pad_levels(feats, sizes):
     return padded, shapes
 
 
+# scalar-prefetch metadata lives in SMEM (~1 MB): mi [13,R] i32 + mf [4,R]
+# f32 is 68 B/RoI, so cap the per-call RoI count and chunk above it
+# (train path: 8x512 = 4096; eval: 8x1000 = 8000 — both single-chunk)
+MAX_ROIS_PER_CALL = 8192
+
+
 @functools.partial(jax.jit, static_argnames=("strides", "interpret"))
 def _roi_align_fwd(feats, rois, strides, interpret=False):
     """feats: tuple of [B,H,W,C] (finest first); rois [B,N,4] ->
     pooled [B,N,7,7,C] f32."""
     n_levels = len(feats)
     B, N = rois.shape[:2]
+    if B * N > MAX_ROIS_PER_CALL:
+        nc = max(1, MAX_ROIS_PER_CALL // B)
+        parts = [
+            _roi_align_fwd(feats, rois[:, s : s + nc], strides, interpret)
+            for s in range(0, N, nc)
+        ]
+        return jnp.concatenate(parts, axis=1)
     C = feats[0].shape[-1]
     sizes = [(f.shape[1], f.shape[2]) for f in feats]
     fpad, psizes = _pad_levels(feats, sizes)
@@ -380,14 +511,34 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False):
     """g [B,N,7,7,C] f32 -> per-level grads matching feats shapes/dtypes."""
     n_levels = len(feats)
     B, N = rois.shape[:2]
+    if B * N > MAX_ROIS_PER_CALL:
+        nc = max(1, MAX_ROIS_PER_CALL // B)
+        total = None
+        for s in range(0, N, nc):
+            part = _roi_align_bwd(
+                feats, rois[:, s : s + nc], g[:, s : s + nc], strides,
+                interpret,
+            )
+            total = part if total is None else tuple(
+                a + b for a, b in zip(total, part)
+            )
+        return total
     C = feats[0].shape[-1]
     sizes = [(f.shape[1], f.shape[2]) for f in feats]
     psizes = [_padded_size(h, w) for h, w in sizes]
 
-    flat = rois.reshape(B * N, 4)
-    mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels)
+    # interleave RoIs across images: training RoIs cluster around objects,
+    # so same-image neighbours often alias and would serialize the RMW
+    # pipeline; after interleaving, adjacent RoIs come from different
+    # images (B >= 2) and nearly every handoff is provably safe. The grad
+    # output is accumulation-order invariant (up to f32 rounding).
+    jj = jnp.arange(B * N)
+    perm = (jj % B) * N + (jj // B)
+    flat = rois.reshape(B * N, 4)[perm]
+    b_idx = (jj % B).astype(jnp.int32)
+    mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels, b_idx)
 
-    gflat = g.reshape(B * N, P * P, C).astype(jnp.float32)
+    gflat = g.reshape(B * N, P * P, C).astype(jnp.float32)[perm]
     gflat = jnp.pad(gflat, ((0, 0), (0, 56 - P * P), (0, 0)))
 
     grad_init = [
@@ -410,8 +561,9 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False):
             )
         ],
         scratch_shapes=[
-            pltpu.VMEM((TH, TW, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, TH, TW, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     outs = pl.pallas_call(

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Real-TPU numerical check: Pallas RoIAlign (fwd + bwd) vs the XLA gather
+path at train-like shapes, including adversarially OVERLAPPING RoIs (the
+backward's pipelined RMW must serialize exactly on those).
+
+The backward comparison runs on f32 features: the XLA path's vjp
+scatter-adds in the FEATURE dtype, so with bf16 features the REFERENCE
+loses ~6e-3 on heavily-overlapped cells while the Pallas kernel
+accumulates its whole table in f32 (measured 2026-08-17; forcing the
+kernel fully serial via DGOD_ROI_ALIGN_SERIAL_BWD=1 reproduces the same
+delta bit-for-bit, proving it is reference rounding, not a kernel race).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from dgod_tpu.ops.pallas_roi_align import batched_roi_align_tpu  # noqa: E402
+from dgod_tpu.ops.roi_align import multiscale_roi_align  # noqa: E402
+
+STRIDES = (4, 8, 16, 32)
+CANVAS = (608, 1216)
+
+
+def xla_ref(feats, rois):
+    return jax.vmap(
+        lambda f0, f1, f2, f3, r: multiscale_roi_align(
+            [f0, f1, f2, f3], r, STRIDES
+        )
+    )(*feats, rois)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    B, N, C = 4, 256, 256
+    feats_bf16 = tuple(
+        jnp.asarray(rng.randn(B, CANVAS[0] // s, CANVAS[1] // s, C) * 0.5,
+                    jnp.bfloat16)
+        for s in STRIDES
+    )
+    feats = tuple(f.astype(jnp.float32) for f in feats_bf16)
+    rois = np.zeros((B, N, 4), np.float32)
+    for b in range(B):
+        for i in range(N):
+            if i % 4 == 0 and i > 0:
+                # force overlap with the previous RoI (unsafe handoff path)
+                rois[b, i] = rois[b, i - 1] + rng.uniform(-8, 8, 4)
+                rois[b, i, 2:] = np.maximum(rois[b, i, 2:],
+                                            rois[b, i, :2] + 4)
+            else:
+                x1, y1 = rng.uniform(0, 1100), rng.uniform(0, 500)
+                w, h = rng.uniform(4, 300), rng.uniform(4, 200)
+                rois[b, i] = [x1, y1, x1 + w, y1 + h]
+    rois = jnp.asarray(rois)
+
+    # bf16 forward (the production dtype)
+    ref16 = np.asarray(xla_ref(feats_bf16, rois), np.float32)
+    got16 = np.asarray(
+        batched_roi_align_tpu(feats_bf16, rois, STRIDES), np.float32
+    )
+    scale = np.abs(ref16).max() + 1e-9
+    err = np.abs(ref16 - got16).max() / scale
+    print(f"bf16 fwd rel err: {err:.2e}  (scale {scale:.2f})")
+    assert err < 5e-3, "bf16 fwd mismatch"
+
+    # f32 fwd+bwd, tight
+    ref, vjp_ref = jax.vjp(lambda fs: xla_ref(fs, rois), feats)
+    got, vjp_got = jax.vjp(
+        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES), feats
+    )
+    ref, got = np.asarray(ref), np.asarray(got)
+    scale = np.abs(ref).max() + 1e-9
+    err = np.abs(ref - got).max() / scale
+    print(f"f32 fwd rel err: {err:.2e}  (scale {scale:.2f})")
+    assert err < 1e-5, "fwd mismatch"
+
+    g = jnp.asarray(rng.randn(B, N, 7, 7, C), jnp.float32)
+    (dref,) = vjp_ref(g)
+    (dgot,) = vjp_got(g)
+    for lvl, (a, b) in enumerate(zip(dref, dgot)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = np.abs(a).max() + 1e-9
+        e = np.abs(a - b).max() / s
+        print(f"f32 bwd lvl{lvl} rel err: {e:.2e}  (scale {s:.2f})")
+        assert e < 1e-5, f"bwd mismatch lvl{lvl}"
+    print("PASS")
+
+
+if __name__ == "__main__":
+    main()

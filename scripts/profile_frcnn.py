@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Piecewise FRCNN mode-0 profile on the default backend (TPU).
 
-Times each stage as its own jitted program (stage boundaries force
-materialisation, so the sum exceeds the fused step time — use for
-RELATIVE attribution):
-  backbone fwd | rpn head | proposals (decode+NMS+topk) | roi_align fwd |
-  box head+predictor | full loss fwd | full fwd+bwd | mode-0 step
+Measurement notes for the axon tunnel backend:
+- `jax.block_until_ready` returns before remote execution completes, so
+  every timing here reduces to a scalar inside jit and fetches it
+  (device->host of a scalar is the only reliable sync).
+- Each synced call pays a fixed ~26 ms tunnel round-trip; it is measured
+  first and subtracted.
+- Hot stages additionally run K iterations inside one jit (lax.fori_loop
+  with data dependency) to amortise any residual per-call cost.
 """
 import os
 import sys
@@ -15,23 +18,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from dgod_tpu.models.dg_frcnn import DGFRCNNModel  # noqa: E402
 from dgod_tpu.train import steps as step_lib  # noqa: E402
 from dgod_tpu.train.optim import init_opt_state  # noqa: E402
 
+_RT = None  # calibrated per-call round-trip (ms)
 
-def timeit(name, fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+
+def _scalarize(x):
+    return sum(
+        v.astype(jnp.float32).sum() for v in jax.tree_util.tree_leaves(x)
+    )
+
+
+def calibrate():
+    global _RT
+    triv = jax.jit(lambda x: (x * 2).sum())
+    x = jnp.ones((8,))
+    float(triv(x))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(triv(x))
+    _RT = (time.perf_counter() - t0) / 20 * 1000
+    print(f"{'tunnel round-trip (subtracted)':34s} {_RT:8.2f} ms", flush=True)
+
+
+def timeit(name, fn, *args, n=10):
+    """fn must return something scalarizable; fetches to force sync."""
+    wrapped = jax.jit(lambda *a: _scalarize(fn(*a)))
+    float(wrapped(*args))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / n * 1000
+        float(wrapped(*args))
+    ms = (time.perf_counter() - t0) / n * 1000 - _RT
     print(f"{name:34s} {ms:8.2f} ms", flush=True)
-    return out
 
 
 def main():
@@ -64,34 +87,76 @@ def main():
     key = jax.random.PRNGKey(1)
     reg = (0.5, 0.5, 0.5, 0.05, 1e-4)
 
-    img = model.normalize(batch["image"]) if hasattr(model, "normalize") \
-        else batch["image"].astype(np.float32)
+    calibrate()
 
-    feats_fn = jax.jit(lambda p, x: det.features(p, x)[0])
-    feats = timeit("backbone+fpn fwd", feats_fn, dp, img)
+    img = model.normalize(batch["image"])
 
-    rpn_fn = jax.jit(lambda p, f: det.rpn_forward(p, f))
-    obj, deltas = timeit("rpn head fwd", rpn_fn, dp, feats)
+    timeit("backbone+fpn fwd", lambda p, x: det.features(p, x)[0], dp, img)
 
-    prop_fn = jax.jit(lambda o, d, s: det.generate_proposals(o, d, s, True))
-    props = timeit("proposals (decode+NMS+topk)", prop_fn, obj, deltas,
-                   batch["image_size"])
+    feats = jax.jit(lambda p, x: det.features(p, x)[0])(dp, img)
+    timeit("rpn head fwd", lambda p, f: det.rpn_forward(p, f), dp, feats)
+    obj, deltas = jax.jit(lambda p, f: det.rpn_forward(p, f))(dp, feats)
 
-    roi_fn = jax.jit(lambda f, r: det.roi_align(f, r))
-    timeit("roi_align fwd (2000 rois)", roi_fn, feats, props[0])
+    timeit("proposals (decode+NMS+topk)",
+           lambda o, d, s: det.generate_proposals(o, d, s, True),
+           obj, deltas, batch["image_size"])
+    props = jax.jit(
+        lambda o, d, s: det.generate_proposals(o, d, s, True)
+    )(obj, deltas, batch["image_size"])
+
+    timeit("roi_align fwd (2000 rois)",
+           lambda f, r: det.roi_align(f, r), feats, props[0])
+    timeit("roi_align fwd (512 rois)",
+           lambda f, r: det.roi_align(f, r), feats, props[0][:, :512])
 
     def loss_only(p, b, k):
         return model.loss_for_mode(p, b, k, 0, reg)[0]
 
-    timeit("mode0 loss fwd", jax.jit(loss_only), params, batch, key)
+    timeit("mode0 loss fwd", loss_only, params, batch, key)
     timeit("mode0 fwd+bwd",
-           jax.jit(lambda p, b, k: jax.grad(loss_only)(p, b, k)),
-           params, batch, key)
+           lambda p, b, k: jax.grad(loss_only)(p, b, k),
+           params, batch, key, n=5)
 
-    step = step_lib.make_train_step(model, 0, reg, opt_config, base_lr,
-                                    params, donate=False)
-    timeit("mode0 full step", lambda *a: step(*a)[2]["loss"],
-           params, opt_state, batch, key, 1.0)
+    # K chained optimizer steps inside ONE jit: the true steady-state cost
+    K = 4
+    for mode_k in (None, 1, 2, 3, 4):
+        if mode_k is None:
+            step = step_lib.make_train_step(
+                model, 0, reg, opt_config, base_lr, params, donate=False)
+
+            def loop(p, o, b, k):
+                def body(i, carry):
+                    p, o = carry
+                    p, o, m = step(p, o, b, jax.random.fold_in(k, i), 1.0)
+                    return (p, o)
+                p, o = jax.lax.fori_loop(0, K, body, (p, o))
+                return jax.tree_util.tree_leaves(p)[0]
+
+            name = f"mode0 step (x{K} chained)"
+        else:
+            pair = step_lib.make_pair_step(
+                model, mode_k, reg, opt_config, base_lr, params,
+                donate=False)
+
+            def loop(p, o, b, k, pair=pair):
+                def body(i, carry):
+                    p, o = carry
+                    p, o, m = pair(p, o, b, jax.random.fold_in(k, i),
+                                   jax.random.fold_in(k, i + 99), 1.0)
+                    return (p, o)
+                p, o = jax.lax.fori_loop(0, K, body, (p, o))
+                return jax.tree_util.tree_leaves(p)[0]
+
+            name = f"fused pair (0+{mode_k}) (x{K} chained)"
+
+        wrapped = jax.jit(lambda p, o, b, k, loop=loop:
+                          _scalarize(loop(p, o, b, k)))
+        float(wrapped(params, opt_state, batch, key))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(wrapped(params, opt_state, batch, key))
+        ms = ((time.perf_counter() - t0) / 3 * 1000 - _RT) / K
+        print(f"{name:34s} {ms:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,31 @@ def test_bfloat16_features():
     assert all(x.dtype == jnp.bfloat16 for x in d)
 
 
+def test_chunked_call_matches_single(monkeypatch):
+    """Above MAX_ROIS_PER_CALL the driver splits the RoI axis (SMEM holds
+    56 B of prefetch metadata per RoI); fwd+bwd must be unchanged."""
+    from dgod_tpu.ops import pallas_roi_align as pra
+
+    rng = np.random.RandomState(4)
+    feats = _feats(rng, B=2, C=8)
+    rois = _rois(rng, B=2, N=10)
+    g = jnp.asarray(rng.randn(2, 10, 7, 7, 8), jnp.float32)
+
+    ref, vjp_ref = jax.vjp(
+        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, True), feats
+    )
+    (dref,) = vjp_ref(g)
+
+    monkeypatch.setattr(pra, "MAX_ROIS_PER_CALL", 6)  # 2x10 -> chunks of 3
+    got, vjp_got = jax.vjp(
+        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, True), feats
+    )
+    (dgot,) = vjp_got(g)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-6)
+    for a, b in zip(dref, dgot):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_grad_flows_only_to_touched_cells():
     """A single small RoI must leave grads only at its own level/cells."""
     rng = np.random.RandomState(3)
