@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -88,6 +89,41 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _StemConv(nn.Module):
+    """The 7x7/2 stem conv, computed via 2x2 space-to-depth.
+
+    A direct 7x7 stride-2 conv on a 3-channel input wastes the MXU (the
+    contraction dim is 3; measured ~5 ms of the ~14 ms body forward at
+    608x1216 batch 8). Rewriting it as a 4x4 stride-1 conv on the 2x2
+    space-to-depth input (12 channels) is EXACTLY equivalent: pad the
+    kernel to 8x8 at the front (zero row/col), regroup (u,v) = (2a+dy,
+    2b+dx), and the original window rows 2p-3..2p+3 become s2d rows
+    p-2..p+1 with per-parity sub-kernels. The parameter keeps the
+    torchvision layout [7,7,3,64] (checkpoint/weight-port compatible);
+    odd spatial sizes fall back to the direct conv."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", KERNEL_INIT, (7, 7, 3, 64))
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,C,64]
+        k4 = k8.reshape(4, 2, 4, 2, C, 64).transpose(0, 2, 1, 3, 4, 5)
+        k4 = k4.reshape(4, 4, 4 * C, 64)
+        return jax.lax.conv_general_dilated(
+            x2, k4.astype(self.dtype), (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNet50(nn.Module):
     """Returns {'c2','c3','c4','c5'} feature maps (strides 4/8/16/32)."""
 
@@ -96,16 +132,7 @@ class ResNet50(nn.Module):
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            kernel_init=KERNEL_INIT,
-            name="conv1",
-            dtype=self.dtype,
-        )(x)
+        x = _StemConv(name="conv1", dtype=self.dtype)(x)
         x = FrozenBatchNorm(name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -362,3 +362,38 @@ def test_fpn_activation_parity():
         ]
     for o_t, o_j in zip(outs, ours):
         np.testing.assert_allclose(np.asarray(o_j), o_t, atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_stem_equals_direct_conv():
+    """The space-to-depth stem must reproduce the direct 7x7/2 conv
+    exactly (same param, both paths of models/resnet.py::_StemConv)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgod_tpu.models.resnet import _StemConv
+
+    rng = np.random.RandomState(0)
+    x_even = jnp.asarray(rng.randn(2, 32, 48, 3).astype(np.float32))
+    stem = _StemConv(dtype=jnp.float32)
+    params = stem.init(jax.random.PRNGKey(0), x_even)["params"]
+    kernel = params["kernel"]
+    assert kernel.shape == (7, 7, 3, 64)
+
+    direct = jax.lax.conv_general_dilated(
+        x_even, kernel, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = stem.apply({"params": params}, x_even)
+    assert got.shape == direct.shape == (2, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    # odd spatial size takes the direct path
+    x_odd = jnp.asarray(rng.randn(1, 31, 48, 3).astype(np.float32))
+    got_odd = stem.apply({"params": params}, x_odd)
+    ref_odd = jax.lax.conv_general_dilated(
+        x_odd, kernel, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got_odd), np.asarray(ref_odd),
+                               rtol=1e-6, atol=1e-6)
