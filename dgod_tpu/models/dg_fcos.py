@@ -24,7 +24,6 @@ correctness; toggle `FCOSLossConfig` for the matcher quirks):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -119,15 +118,10 @@ class DGFCOSModel:
         """Dense one-hot matcher targets [B, R, C] (fcos.py:201 contract)."""
         from ..ops import matchers
 
-        match_fn = partial(
-            matchers.fcos_match,
-            self.anchors,
-            num_anchors_per_level=self.counts,
+        matched = matchers.fcos_match_batched(
+            self.anchors, batch["boxes"], batch["gt_valid"], self.counts,
             center_sampling_radius=self.loss_config.center_sampling_radius,
             exact_reference_area=self.loss_config.exact_reference_area,
-        )
-        matched = jax.vmap(lambda b, v: match_fn(b, v))(
-            batch["boxes"], batch["gt_valid"]
         )
         fg = matched >= 0
         labels = jnp.take_along_axis(batch["labels"], jnp.clip(matched, 0), axis=1)

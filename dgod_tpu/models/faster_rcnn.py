@@ -225,22 +225,28 @@ class FRCNNDetector:
         B = obj.shape[0]
         keys = jax.random.split(rng, B)
 
-        def per_image(obj_i, dl_i, gt_b, gt_v, key):
-            iou = box_ops.box_iou(gt_b, self.anchors)  # [G, R]
-            match = matchers.iou_match(
-                iou, gt_v, cfg.rpn_fg_iou, cfg.rpn_bg_iou, True
-            )
+        # fused batched matcher (Pallas on TPU) instead of per-image [G,R]
+        # IoU planes
+        match_b = matchers.match_anchors_batched(
+            gt_boxes, gt_valid, self.anchors, cfg.rpn_fg_iou,
+            cfg.rpn_bg_iou, True,
+        )  # [B, R]
+
+        def per_image(obj_i, dl_i, gt_b, match, key):
             fg = match >= 0
             bg = match == matchers.BELOW_LOW
-            matched_gt = gt_b[jnp.clip(match, 0)]
-            reg_targets = box_ops.delta_encode(matched_gt, self.anchors)
-
             sample = matchers.balanced_sample(
                 fg, bg, cfg.rpn_batch_per_image, cfg.rpn_positive_fraction, key
             )
+            # gather + encode regression targets on the 256 sampled anchors
+            # only (not all ~185k)
+            matched_gt_s = gt_b[jnp.clip(match[sample.idx], 0)]
+            reg_targets_s = box_ops.delta_encode(
+                matched_gt_s, self.anchors[sample.idx]
+            )
             n_sampled = jnp.maximum(jnp.sum(sample.valid), 1)
             box_l = loss_ops.smooth_l1(
-                dl_i[sample.idx], reg_targets[sample.idx], beta=1 / 9
+                dl_i[sample.idx], reg_targets_s, beta=1 / 9
             ).sum(-1)
             box_loss = (
                 jnp.sum(box_l * sample.is_pos.astype(box_l.dtype))
@@ -251,7 +257,9 @@ class FRCNNDetector:
             obj_loss = loss_ops.masked_mean(obj_l, sample.valid)
             return obj_loss, box_loss
 
-        obj_losses, box_losses = jax.vmap(per_image)(obj, dl, gt_boxes, gt_valid, keys)
+        obj_losses, box_losses = jax.vmap(per_image)(
+            obj, dl, gt_boxes, match_b, keys
+        )
         return jnp.sum(obj_losses), jnp.sum(box_losses)
 
     # -- RoI sampling ------------------------------------------------------

@@ -21,7 +21,6 @@ targets the DG modes consume (fcos.py:201).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -179,14 +178,11 @@ def fcos_loss(
     bbox_ctrness = outputs["bbox_ctrness"]
     B, R, C = cls_logits.shape
 
-    match_fn = partial(
-        matchers.fcos_match,
-        anchors,
-        num_anchors_per_level=num_anchors_per_level,
+    matched = matchers.fcos_match_batched(
+        anchors, gt_boxes, gt_valid, num_anchors_per_level,
         center_sampling_radius=config.center_sampling_radius,
         exact_reference_area=config.exact_reference_area,
-    )
-    matched = jax.vmap(lambda b, v: match_fn(b, v))(gt_boxes, gt_valid)  # [B, R]
+    )  # [B, R]
 
     if config.single_gt_quirk:
         # reference: images with <=1 labels use zero targets everywhere

@@ -120,6 +120,61 @@ def iou_match(
     return jnp.where(no_gt, jnp.full_like(out, BELOW_LOW), out)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    choice = os.environ.get("DGOD_MATCHER", "")
+    return choice == "pallas" or (
+        choice != "xla" and jax.default_backend() not in ("cpu",)
+    )
+
+
+def match_anchors_batched(gt_boxes, gt_valid, anchors, high_threshold,
+                          low_threshold, allow_low_quality_matches):
+    """Fused box_iou + `iou_match` over the whole batch: gt [B,G,4]/[B,G]
+    x anchors [R,4] -> matches [B,R]. Pallas kernel on TPU backends (the
+    XLA path materialises [G,R] planes per image); DGOD_MATCHER=pallas|xla
+    overrides."""
+    if _use_pallas():
+        from .pallas_matchers import iou_match_tpu
+
+        return iou_match_tpu(
+            gt_boxes, gt_valid, anchors, high_threshold, low_threshold,
+            allow_low_quality_matches,
+        )
+    from .boxes import box_iou
+
+    def per_image(gt_b, gt_v):
+        iou = box_iou(gt_b, anchors)
+        return iou_match(
+            iou, gt_v, high_threshold, low_threshold,
+            allow_low_quality_matches,
+        )
+
+    return jax.vmap(per_image)(gt_boxes, gt_valid)
+
+
+def fcos_match_batched(anchors, gt_boxes, gt_valid, num_anchors_per_level,
+                       center_sampling_radius=1.5,
+                       exact_reference_area=False):
+    """Batched `fcos_match`: gt [B,G,4]/[B,G] -> matched idx [B,R].
+    Pallas kernel on TPU backends; DGOD_MATCHER=pallas|xla overrides."""
+    if _use_pallas():
+        from .pallas_matchers import fcos_match_tpu
+
+        return fcos_match_tpu(
+            anchors, gt_boxes, gt_valid, tuple(num_anchors_per_level),
+            center_sampling_radius, exact_reference_area,
+        )
+    return jax.vmap(
+        lambda b, v: fcos_match(
+            anchors, b, v, num_anchors_per_level,
+            center_sampling_radius=center_sampling_radius,
+            exact_reference_area=exact_reference_area,
+        )
+    )(gt_boxes, gt_valid)
+
+
 class SampleResult(NamedTuple):
     idx: jnp.ndarray  # [num_samples] int32 indices into predictions
     is_pos: jnp.ndarray  # [num_samples] bool
