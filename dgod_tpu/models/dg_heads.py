@@ -159,8 +159,14 @@ class _StackedDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, domain=None):
+        # batch_axis marks the leading domain axis so fan_in = in (not D*in):
+        # each domain head gets the same init scale as an independent
+        # nn.Dense / the reference's per-head Linear
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", batch_axis=(0,)
+            ),
             (self.num_domains, x.shape[-1], self.features),
         )
         bias = self.param(

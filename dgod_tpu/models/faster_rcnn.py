@@ -317,10 +317,12 @@ class FRCNNDetector:
         overrides."""
         import os
 
+        # == 'tpu' (not `!= 'cpu'`): Mosaic only lowers on TPU, and a GPU
+        # backend must take the XLA path rather than crash
         choice = os.environ.get("DGOD_ROI_ALIGN", "")
         use_pallas = (
             choice == "pallas"
-            or (choice != "xla" and jax.default_backend() not in ("cpu",))
+            or (choice != "xla" and jax.default_backend() == "tpu")
         )
         if use_pallas:
             return batched_roi_align_tpu(tuple(feats[:4]), rois, STRIDES[:4])

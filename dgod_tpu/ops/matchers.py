@@ -120,22 +120,38 @@ def iou_match(
     return jnp.where(no_gt, jnp.full_like(out, BELOW_LOW), out)
 
 
-def _use_pallas() -> bool:
+def _use_pallas(default_on: bool) -> bool:
+    """Per-kernel Pallas dispatch, gated on measurement and on TPU-only.
+
+    A kernel is `default_on` only after winning a recorded end-to-end A/B
+    (scripts/check_pallas_matchers_tpu.py + bench.py). Round-3 numbers on
+    the real v5e at train shapes (B=8, 608x1216):
+    - iou_match: Pallas 4.6 ms vs XLA 10.6 ms; bench FRCNN 92.1 img/s vs
+      89.5 -> DEFAULT ON.
+    - fcos_match: Pallas ~= XLA (4.6 vs 4.2 ms; bench FCOS 198.1 vs 197.5,
+      within noise) -> stays opt-in.
+    TPU-only via equality check: Mosaic doesn't lower on CPU/GPU, and on
+    hosts with a TPU plugin `jax.default_backend()` is 'tpu' even under
+    JAX_PLATFORMS=cpu — the conftest env pin (DGOD_MATCHER=xla) keeps CPU
+    suites on the XLA path. DGOD_MATCHER=pallas|xla overrides both ways."""
     import os
 
     choice = os.environ.get("DGOD_MATCHER", "")
-    return choice == "pallas" or (
-        choice != "xla" and jax.default_backend() not in ("cpu",)
-    )
+    if choice == "xla":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return choice == "pallas" or default_on
 
 
 def match_anchors_batched(gt_boxes, gt_valid, anchors, high_threshold,
                           low_threshold, allow_low_quality_matches):
     """Fused box_iou + `iou_match` over the whole batch: gt [B,G,4]/[B,G]
-    x anchors [R,4] -> matches [B,R]. Pallas kernel on TPU backends (the
+    x anchors [R,4] -> matches [B,R]. Pallas kernel by default on TPU (won
+    its A/B: 4.6 ms vs 10.6 ms XLA, bench FRCNN 92.1 vs 89.5 img/s — the
     XLA path materialises [G,R] planes per image); DGOD_MATCHER=pallas|xla
     overrides."""
-    if _use_pallas():
+    if _use_pallas(default_on=True):
         from .pallas_matchers import iou_match_tpu
 
         return iou_match_tpu(
@@ -158,8 +174,9 @@ def fcos_match_batched(anchors, gt_boxes, gt_valid, num_anchors_per_level,
                        center_sampling_radius=1.5,
                        exact_reference_area=False):
     """Batched `fcos_match`: gt [B,G,4]/[B,G] -> matched idx [B,R].
-    Pallas kernel on TPU backends; DGOD_MATCHER=pallas|xla overrides."""
-    if _use_pallas():
+    Pallas kernel is OPT-IN (DGOD_MATCHER=pallas): its A/B vs the XLA path
+    was a wash (see _use_pallas), so XLA stays the default."""
+    if _use_pallas(default_on=False):
         from .pallas_matchers import fcos_match_tpu
 
         return fcos_match_tpu(

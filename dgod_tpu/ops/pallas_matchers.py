@@ -7,24 +7,35 @@ name (RoIAlign, anchor/point matching, NMS).
 
 Why a kernel: the XLA formulation (ops/matchers.py) materialises [G, R]
 f32 planes (G=128 padded GT x R~185k anchors ~= 95 MB each) and re-reads
-them for every reduction (max, argmax, per-gt best, tie test) — ~7.6 ms
-per FRCNN train step. These kernels stream anchor tiles through VMEM and
-never materialise the match matrix in HBM: traffic is the anchor planes
-(a few MB) and the [B, R] outputs.
+them for every reduction (max, argmax, per-gt best, tie test). These
+kernels stream anchor tiles through VMEM and never materialise the match
+matrix in HBM: traffic is the anchor planes (a few MB) and the [B, R]
+outputs.
 
-- `iou_match_tpu`: grid (B, 2 phases, R tiles). Phase 0 accumulates the
-  per-gt best IoU into a [G, 1] VMEM scratch (reset per image); phase 1
-  recomputes each IoU tile (compute is cheap, ~20 VPU ops per pair) and
-  emits thresholded matches with torchvision's allow_low_quality rescue
-  (value ties against the per-gt best, original-argmax restore,
-  BELOW_LOW/BETWEEN codes, empty-gt -> all BELOW_LOW).
-- `fcos_match_tpu`: grid (B, R tiles), single pass. Per-point eligibility
+Mosaic layout note (the round-2 lesson): an output block of (1, TILE) over
+a [B, Rp] array violates the "second-to-minor block dim divisible by 8 or
+equal to the array dim" rule for B > 1. Both kernels therefore process ALL
+B images inside each tile step (a static python loop over B — same total
+compute, B moved from the grid into the kernel) and write a full-height
+(B, TILE) block, which is legal for any B. Lowering is exercised on the
+real chip by scripts/check_pallas_matchers_tpu.py; keep that green before
+touching dispatch defaults.
+
+- `iou_match_tpu`: grid (2 phases, R tiles). Phase 0 accumulates the
+  per-gt best IoU into a [B, G] VMEM scratch; phase 1 recomputes each IoU
+  tile (compute is cheap, ~20 VPU ops per pair) and emits thresholded
+  matches with torchvision's allow_low_quality rescue (value ties against
+  the per-gt best, original-argmax restore, BELOW_LOW/BETWEEN codes,
+  empty-gt -> all BELOW_LOW).
+- `fcos_match_tpu`: grid (R tiles), single pass. Per-point eligibility
   (center-sampling radius, strictly-inside test, per-level scale range,
   validity) -> min-area tie-break argmax, exactly `matchers.fcos_match`
   (including the optional reference area-formula quirk).
 
 Both return the same codes as their ops/matchers.py counterparts and are
-validated against them in tests/test_pallas_matchers.py.
+validated against them in tests/test_pallas_matchers.py (semantics,
+interpret mode) and scripts/check_pallas_matchers_tpu.py (Mosaic lowering
++ A/B timing at train shapes on the real chip).
 """
 
 from __future__ import annotations
@@ -74,16 +85,22 @@ def _iou_tile(gt, anc):
     return jnp.where(union > 0.0, inter / union, 0.0)
 
 
-def _iou_match_kernel(high, low, allow, n_tiles, gt_ref, valid_ref, anc_ref,
-                      out_ref, best_ref):
-    phase = pl.program_id(1)
-    tile = pl.program_id(2)
+def _load_row(ref, b):
+    """ref[b] for traced b (fori_loop index): [1, ...] -> squeeze dim 0."""
+    idx = (pl.ds(b, 1),) + (slice(None),) * (len(ref.shape) - 1)
+    return ref[idx][0]
 
-    gt = gt_ref[0]  # [G, 4]
-    valid = valid_ref[0] > 0  # [G, 1] bool
+
+def _iou_match_kernel(high, low, allow, B, gt_ref, valid_ref, anc_ref,
+                      out_ref, best_ref):
+    # images iterate via fori_loop (NOT an unrolled python loop): Mosaic
+    # allocates kernel stack for the whole unrolled body, and B live
+    # [G, TILE] planes blow the 16 MB scoped-vmem limit (measured 25.4 MB
+    # at B=8, TILE=4096); the loop keeps one iteration's transients live
+    phase = pl.program_id(0)
+    tile = pl.program_id(1)
     neg_inf = jnp.float32(-jnp.inf)
-    iou = _iou_tile(gt, anc_ref[...])  # [G, T]
-    masked = jnp.where(valid, iou, neg_inf)
+    anc = anc_ref[...]
 
     @pl.when((phase == 0) & (tile == 0))
     def _():
@@ -91,28 +108,43 @@ def _iou_match_kernel(high, low, allow, n_tiles, gt_ref, valid_ref, anc_ref,
 
     @pl.when(phase == 0)
     def _():
-        tile_best = jnp.max(masked, axis=1, keepdims=True)  # [G, 1]
-        best_ref[...] = jnp.maximum(best_ref[...], tile_best)
+        def body(b, carry):
+            valid = _load_row(valid_ref, b) > 0  # [G, 1]
+            masked = jnp.where(valid, _iou_tile(_load_row(gt_ref, b), anc),
+                               neg_inf)
+            tile_best = jnp.max(masked, axis=1)  # [G]
+            cur = _load_row(best_ref, b)
+            best_ref[pl.ds(b, 1), :] = jnp.maximum(cur, tile_best)[None]
+            return carry
+
+        jax.lax.fori_loop(0, B, body, 0)
         # phase-0 steps share the phase-1 out block mapping; write zeros so
         # every output element is defined even if phase 1 were skipped
         out_ref[...] = jnp.zeros_like(out_ref)
 
     @pl.when(phase == 1)
     def _():
-        matched_vals = jnp.max(masked, axis=0)  # [T]
-        matches = jnp.argmax(masked, axis=0).astype(jnp.int32)  # [T]
-        out = jnp.where(matched_vals < low, BELOW_LOW, matches)
-        out = jnp.where(
-            (matched_vals >= low) & (matched_vals < high), BETWEEN, out
-        )
-        if allow:
-            best = best_ref[...]  # [G, 1]
-            is_best = (masked == best) & valid & (best > neg_inf)
-            any_best = jnp.any(is_best, axis=0)  # [T]
-            out = jnp.where(any_best, matches, out)
-        no_gt = ~jnp.any(valid)
-        out_ref[...] = jnp.where(no_gt, jnp.full_like(out, BELOW_LOW),
-                                 out)[None]
+        def body(b, carry):
+            valid = _load_row(valid_ref, b) > 0  # [G, 1]
+            masked = jnp.where(valid, _iou_tile(_load_row(gt_ref, b), anc),
+                               neg_inf)
+            matched_vals = jnp.max(masked, axis=0)  # [T]
+            matches = jnp.argmax(masked, axis=0).astype(jnp.int32)  # [T]
+            out = jnp.where(matched_vals < low, BELOW_LOW, matches)
+            out = jnp.where(
+                (matched_vals >= low) & (matched_vals < high), BETWEEN, out
+            )
+            if allow:
+                best = _load_row(best_ref, b)[:, None]  # [G, 1]
+                is_best = (masked == best) & valid & (best > neg_inf)
+                any_best = jnp.any(is_best, axis=0)  # [T]
+                out = jnp.where(any_best, matches, out)
+            no_gt = ~jnp.any(valid)
+            out = jnp.where(no_gt, jnp.full_like(out, BELOW_LOW), out)
+            out_ref[pl.ds(b, 1), :] = out[None]
+            return carry
+
+        jax.lax.fori_loop(0, B, body, 0)
 
 
 @functools.partial(
@@ -135,29 +167,29 @@ def iou_match_tpu(gt_boxes, gt_valid, anchors, high_threshold, low_threshold,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(B, 2, n_tiles),
+        grid=(2, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, G, 4), lambda b, p, t: (b, 0, 0),
+            pl.BlockSpec((B, G, 4), lambda p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 1), lambda b, p, t: (b, 0, 0),
+            pl.BlockSpec((B, G, 1), lambda p, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TILE), lambda b, p, t: (0, t),
+            pl.BlockSpec((4, TILE), lambda p, t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda b, p, t: (b, t),
+        out_specs=pl.BlockSpec((B, TILE), lambda p, t: (0, t),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((G, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, G), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(
             _iou_match_kernel, float(high_threshold), float(low_threshold),
-            bool(allow_low_quality_matches), n_tiles,
+            bool(allow_low_quality_matches), B,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Rp), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(
         gt_boxes.astype(jnp.float32),
@@ -167,10 +199,7 @@ def iou_match_tpu(gt_boxes, gt_valid, anchors, high_threshold, low_threshold,
     return out[:, :R]
 
 
-def _fcos_match_kernel(radius, exact_area, gt_ref, valid_ref, anc_ref,
-                       out_ref):
-    gt = gt_ref[0]  # [G, 4]
-    valid = valid_ref[0] > 0  # [G, 1]
+def _fcos_match_kernel(exact_area, B, gt_ref, valid_ref, anc_ref, out_ref):
     # anchor planes [6, T]: cx, cy, rad (radius*size), lower, upper, (pad)
     cx = anc_ref[0:1, :]
     cy = anc_ref[1:2, :]
@@ -178,35 +207,43 @@ def _fcos_match_kernel(radius, exact_area, gt_ref, valid_ref, anc_ref,
     lower = anc_ref[3:4, :]
     upper = anc_ref[4:5, :]
 
-    gx1 = gt[:, 0:1]
-    gy1 = gt[:, 1:2]
-    gx2 = gt[:, 2:3]
-    gy2 = gt[:, 3:4]
-    gcx = 0.5 * (gx1 + gx2)
-    gcy = 0.5 * (gy1 + gy2)
+    # fori_loop (not unrolled) over images: see _iou_match_kernel vmem note
+    def body(b, carry):
+        gt = _load_row(gt_ref, b)  # [G, 4]
+        valid = _load_row(valid_ref, b) > 0  # [G, 1]
+        gx1 = gt[:, 0:1]
+        gy1 = gt[:, 1:2]
+        gx2 = gt[:, 2:3]
+        gy2 = gt[:, 3:4]
+        gcx = 0.5 * (gx1 + gx2)
+        gcy = 0.5 * (gy1 + gy2)
 
-    # centre sampling: |anchor_ctr - gt_ctr|_inf < radius * anchor_size
-    m = jnp.maximum(jnp.abs(cx - gcx), jnp.abs(cy - gcy)) < rad
-    # anchor centre strictly inside the gt box
-    d1 = cx - gx1
-    d2 = cy - gy1
-    d3 = gx2 - cx
-    d4 = gy2 - cy
-    m &= jnp.minimum(jnp.minimum(d1, d2), jnp.minimum(d3, d4)) > 0
-    # per-level scale range on the max regression distance
-    maxd = jnp.maximum(jnp.maximum(d1, d2), jnp.maximum(d3, d4))
-    m &= (maxd > lower) & (maxd < upper)
-    m &= valid
+        # centre sampling: |anchor_ctr - gt_ctr|_inf < radius * anchor_size
+        m = jnp.maximum(jnp.abs(cx - gcx), jnp.abs(cy - gcy)) < rad
+        # anchor centre strictly inside the gt box
+        d1 = cx - gx1
+        d2 = cy - gy1
+        d3 = gx2 - cx
+        d4 = gy2 - cy
+        m &= jnp.minimum(jnp.minimum(d1, d2), jnp.minimum(d3, d4)) > 0
+        # per-level scale range on the max regression distance
+        maxd = jnp.maximum(jnp.maximum(d1, d2), jnp.maximum(d3, d4))
+        m &= (maxd > lower) & (maxd < upper)
+        m &= valid
 
-    if exact_area:
-        # reference quirk at fcos.py:543, verbatim
-        area = (gy1 - gx1) * (gy2 - gy1)
-    else:
-        area = (gx2 - gx1) * (gy2 - gy1)
-    quality = m.astype(jnp.float32) * (1e8 - area)  # [G, T]
-    best = jnp.max(quality, axis=0)
-    idx = jnp.argmax(quality, axis=0).astype(jnp.int32)
-    out_ref[...] = jnp.where(best < 1e-5, -1, idx)[None]
+        if exact_area:
+            # reference quirk at fcos.py:543, verbatim
+            area = (gy1 - gx1) * (gy2 - gy1)
+        else:
+            area = (gx2 - gx1) * (gy2 - gy1)
+        quality = m.astype(jnp.float32) * (1e8 - area)  # [G, T]
+        best = jnp.max(quality, axis=0)
+        idx = jnp.argmax(quality, axis=0).astype(jnp.int32)
+        out = jnp.where(best < 1e-5, -1, idx)
+        out_ref[pl.ds(b, 1), :] = out[None]
+        return carry
+
+    jax.lax.fori_loop(0, B, body, 0)
 
 
 @functools.partial(
@@ -245,28 +282,27 @@ def fcos_match_tpu(anchors, gt_boxes, gt_valid, num_anchors_per_level,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(B, Rp // TILE),
+        grid=(Rp // TILE,),
         in_specs=[
-            pl.BlockSpec((1, G, 4), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((B, G, 4), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 1), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((B, G, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, TILE), lambda b, t: (0, t),
+            pl.BlockSpec((6, TILE), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda b, t: (b, t),
+        out_specs=pl.BlockSpec((B, TILE), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(
-            _fcos_match_kernel, float(center_sampling_radius),
-            bool(exact_reference_area),
+            _fcos_match_kernel, bool(exact_reference_area), B,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Rp), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
     )(
         gt_boxes.astype(jnp.float32),

@@ -115,7 +115,7 @@ def nms_topk_pallas(boxes, scores, valid, iou_threshold: float, k: int):
 
 def tpu_available() -> bool:
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

@@ -12,6 +12,13 @@ Must run before jax initialises.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# On hosts where a TPU plugin registers even under JAX_PLATFORMS=cpu (the
+# axon tunnel does), jax.default_backend() reports 'tpu' inside this "CPU"
+# suite. Pin the dispatchers to the XLA paths: the CPU suite tests
+# semantics; Mosaic lowering is tested by scripts/check_pallas_*_tpu.py on
+# the real chip. (Kernel unit tests pass interpret=True explicitly.)
+os.environ.setdefault("DGOD_MATCHER", "xla")
+os.environ.setdefault("DGOD_ROI_ALIGN", "xla")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -91,6 +91,27 @@ def test_fcos_match_kernel_matches_xla(exact_area, monkeypatch):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.parametrize(
+    "env,backend,expect_iou,expect_fcos",
+    [
+        ("", "tpu", True, False),     # measured defaults: iou on, fcos off
+        ("", "cpu", False, False),    # Mosaic can't lower off-TPU
+        ("", "gpu", False, False),
+        ("pallas", "tpu", True, True),
+        ("pallas", "cpu", False, False),  # opt-in still TPU-only
+        ("xla", "tpu", False, False),     # full escape hatch
+    ],
+)
+def test_use_pallas_gating(monkeypatch, env, backend, expect_iou, expect_fcos):
+    if env:
+        monkeypatch.setenv("DGOD_MATCHER", env)
+    else:
+        monkeypatch.delenv("DGOD_MATCHER", raising=False)
+    monkeypatch.setattr(M.jax, "default_backend", lambda: backend)
+    assert M._use_pallas(default_on=True) is expect_iou
+    assert M._use_pallas(default_on=False) is expect_fcos
+
+
 def test_batched_dispatchers_fall_back_on_cpu():
     """On the CPU test backend the dispatchers must take the XLA path and
     agree with the per-image reference implementations."""
