@@ -97,6 +97,10 @@ def prepare_image(src: np.ndarray, canvas_hw, resized_hw, flip: bool) -> np.ndar
 def parse_boxes(s: str, max_boxes: int = 512) -> np.ndarray:
     lib = get_lib()
     if lib is not None:
+        # size the buffer from the string (boxes = separators + 1) so the C
+        # parser's cap can never truncate — keeps native and numpy-fallback
+        # decodes identical for annotation counts beyond `max_boxes`
+        max_boxes = max(max_boxes, s.count(";") + 2)
         out = np.empty((max_boxes, 4), np.float32)
         n = lib.dgod_parse_boxes(
             s.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -113,6 +117,7 @@ def parse_boxes(s: str, max_boxes: int = 512) -> np.ndarray:
 def parse_labels(s: str, max_labels: int = 512) -> np.ndarray:
     lib = get_lib()
     if lib is not None:
+        max_labels = max(max_labels, s.count(";") + 2)  # see parse_boxes
         out = np.empty((max_labels,), np.int32)
         n = lib.dgod_parse_labels(
             s.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

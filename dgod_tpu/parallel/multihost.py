@@ -13,26 +13,49 @@ per-host detection arrays before the (host-side) mAP computation.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
+_CLUSTER_ENV_VARS = (
+    # explicit jax coordination env
+    "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+    # auto-detected cluster environments (TPU pod / GKE / SLURM / OMPI)
+    "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_NUM_NODES", "OMPI_MCA_orte_hnp_uri",
+)
+
+
+def _in_cluster_env(coordinator_address) -> bool:
+    return bool(coordinator_address) or any(
+        os.environ.get(v) for v in _CLUSTER_ENV_VARS
+    )
+
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Idempotent jax.distributed init; no-op on single-process runs."""
-    if jax.process_count() > 1:
-        return  # already initialised
-    try:
-        if coordinator_address or num_processes:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        else:
-            jax.distributed.initialize()
-    except Exception:
-        # single-host / no cluster env: stay local
-        pass
+    """Idempotent jax.distributed init.
+
+    Order matters: `jax.distributed.initialize()` must run BEFORE anything
+    queries a backend — `jax.process_count()` (or any `jax.devices()` call)
+    initialises the *local* backend first, after which cluster init cannot
+    take effect and a pod silently degrades to N independent single-host
+    jobs. So: decide from env/args alone, never from a backend query, and
+    let real init failures propagate instead of swallowing them.
+    """
+    if jax.distributed.is_initialized():
+        return  # already initialised (idempotent re-entry)
+    if not _in_cluster_env(coordinator_address):
+        return  # single-host run: nothing to wire
+    if coordinator_address or num_processes:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
+        # auto-discovery from the cluster env (TPU pod / SLURM / OMPI)
+        jax.distributed.initialize()
 
 
 def host_shard_range(n_examples: int):

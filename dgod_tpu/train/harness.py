@@ -174,22 +174,36 @@ class Trainer:
         return {"images_per_sec": n_images / max(dt, 1e-9), **last_metrics}
 
     def validate(self, loader=None) -> Dict[str, Any]:
+        # one-batch pipeline: dispatch eval_step(batch k+1) BEFORE doing the
+        # host-side numpy mAP matching for batch k, so the device computes
+        # the next batch while the host consumes the previous one (JAX
+        # dispatch is async; np.asarray blocks only on the already-finished
+        # step). The reference's val loop is fully serial (DGcommon.py:154-166).
         loader = loader or self.val_loader
         metric = MeanAveragePrecision()
+        pending = None
         for batch in loader:
             dets = self.eval_step(self.params, batch)
-            n_real = batch.get("num_real", batch["image"].shape[0])
-            for i in range(n_real):
-                metric.update(
-                    np.asarray(dets["boxes"][i]),
-                    np.asarray(dets["scores"][i]),
-                    np.asarray(dets["labels"][i]),
-                    np.asarray(batch["boxes"][i]),
-                    np.asarray(batch["labels"][i]),
-                    pred_valid=np.asarray(dets["valid"][i]),
-                    gt_valid=np.asarray(batch["gt_valid"][i]),
-                )
+            if pending is not None:
+                self._metric_update(metric, *pending)
+            pending = (dets, batch)
+        if pending is not None:
+            self._metric_update(metric, *pending)
         return metric.compute()
+
+    @staticmethod
+    def _metric_update(metric, dets, batch):
+        n_real = batch.get("num_real", batch["image"].shape[0])
+        for i in range(n_real):
+            metric.update(
+                np.asarray(dets["boxes"][i]),
+                np.asarray(dets["scores"][i]),
+                np.asarray(dets["labels"][i]),
+                np.asarray(batch["boxes"][i]),
+                np.asarray(batch["labels"][i]),
+                pred_valid=np.asarray(dets["valid"][i]),
+                gt_valid=np.asarray(batch["gt_valid"][i]),
+            )
 
     def fit(self):
         for epoch in range(self.max_epochs):

@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Eval-path benchmark: per-image inference latency at batch 1 vs batch 8,
+plus an end-to-end pipelined validation sweep (device eval_step overlapped
+with host-side mAP matching, train/harness.py::Trainer.validate).
+
+Context: the reference evaluates at batch_size=1, fully serial
+(/root/reference/DGcommon.py:154-166, train_driving_dg.py:146-147), and a
+val sweep gates EVERY epoch (early-stop patience 10 => >= 10 full sweeps
+per run), so eval throughput is schedule-critical, not a tail cost.
+
+Usage: python scripts/bench_eval.py [FCOS|FRCNN|both]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+CANVAS = (608, 1216)
+
+
+def make_batch(b, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    boxes = np.zeros((b, 128, 4), np.float32)
+    labels = np.zeros((b, 128), np.int32)
+    valid = np.zeros((b, 128), bool)
+    for i in range(b):
+        n = rng.randint(3, 30)
+        xy = rng.uniform([0, 0], [1000, 450], (n, 2))
+        wh = rng.uniform(20, 150, (n, 2))
+        boxes[i, :n] = np.concatenate([xy, xy + wh], 1)
+        labels[i, :n] = rng.randint(1, 9, n)
+        valid[i, :n] = True
+    return {
+        "image": rng.randint(0, 255, (b, *CANVAS, 3), np.uint8),
+        "boxes": boxes, "labels": labels, "gt_valid": valid,
+        "domain": np.zeros(b, np.int32),
+        "image_size": np.tile(np.float32((600, 1200)), (b, 1)),
+        "scale_back": np.ones((b, 2), np.float32),
+    }
+
+
+def bench_family(family):
+    import jax
+    import numpy as np
+
+    from dgod_tpu.eval import MeanAveragePrecision
+    from dgod_tpu.train.harness import Trainer
+
+    if family == "FCOS":
+        from dgod_tpu.models.dg_fcos import DGFCOSModel as Model
+    else:
+        from dgod_tpu.models.dg_frcnn import DGFRCNNModel as Model
+
+    model = Model(num_classes=9, num_domains=3, canvas=CANVAS)
+    params = model.init(jax.random.PRNGKey(0))
+    eval_step = jax.jit(model.predict)
+
+    out = {}
+    for b in (1, 8):
+        batch = jax.device_put(make_batch(b))
+        dets = eval_step(params, batch)
+        jax.block_until_ready(dets["scores"])
+        n = 30
+        t0 = time.perf_counter()
+        for _ in range(n):
+            dets = eval_step(params, batch)
+        jax.block_until_ready(dets["scores"])
+        ms = (time.perf_counter() - t0) / n * 1e3
+        out[f"batch{b}_ms_per_img"] = ms / b
+        print(f"{family} eval batch {b}: {ms:.2f} ms/batch = "
+              f"{ms / b:.2f} ms/img ({b * 1e3 / ms:.1f} img/s)")
+
+    # end-to-end pipelined sweep: device eval overlapped with host mAP
+    # matching (Trainer.validate's one-batch pipeline)
+    n_batches, b = 16, 8
+    batches = [jax.device_put(make_batch(b, seed=s)) for s in range(4)]
+    loader = [batches[i % 4] for i in range(n_batches)]
+
+    class _T:  # minimal shim with the two attrs validate() uses
+        pass
+
+    shim = _T()
+    shim.params = params
+    shim.eval_step = eval_step
+    shim.val_loader = loader
+    shim._metric_update = Trainer._metric_update
+    Trainer.validate(shim)  # warm
+    t0 = time.perf_counter()
+    Trainer.validate(shim)
+    dt = time.perf_counter() - t0
+    ips = n_batches * b / dt
+    out["pipelined_sweep_img_per_sec"] = ips
+    print(f"{family} pipelined eval sweep (batch {b}, {n_batches} batches, "
+          f"incl. host mAP matching): {ips:.1f} img/s")
+    return out
+
+
+def main():
+    kind = sys.argv[1] if len(sys.argv) > 1 else "both"
+    fams = ("FCOS", "FRCNN") if kind == "both" else (kind,)
+    for fam in fams:
+        bench_family(fam)
+
+
+if __name__ == "__main__":
+    main()

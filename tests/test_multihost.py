@@ -1,0 +1,86 @@
+"""multihost.initialize() contract tests (mocked jax.distributed).
+
+The round-2 bug: calling jax.process_count() BEFORE
+jax.distributed.initialize() initialises the local backend first, which
+defeats cluster init and silently degrades a pod to N independent
+single-host jobs (and the bare `except: pass` hid every failure). These
+tests pin the fixed contract without needing a real cluster:
+- no backend query happens before jax.distributed.initialize(),
+- explicit coordinator args are forwarded,
+- cluster env (COORDINATOR_ADDRESS etc.) triggers auto-init,
+- no cluster signal -> no init call at all (single-host),
+- already-initialised -> idempotent no-op,
+- initialize() failures PROPAGATE (no silent except).
+"""
+import pytest
+
+from dgod_tpu.parallel import multihost
+
+
+class _Recorder:
+    def __init__(self, already=False, fail=False):
+        self.calls = []
+        self.already = already
+        self.fail = fail
+
+    def is_initialized(self):
+        self.calls.append("is_initialized")
+        return self.already
+
+    def initialize(self, **kw):
+        self.calls.append(("initialize", kw))
+        if self.fail:
+            raise RuntimeError("coordinator unreachable")
+
+    # canary: any backend query before initialize() is the round-2 bug
+    def process_count(self):
+        self.calls.append("process_count")
+        return 1
+
+
+@pytest.fixture
+def recorder(monkeypatch):
+    rec = _Recorder()
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "is_initialized", rec.is_initialized)
+    monkeypatch.setattr(jax.distributed, "initialize", rec.initialize)
+    monkeypatch.setattr(jax, "process_count", rec.process_count)
+    for v in multihost._CLUSTER_ENV_VARS:
+        monkeypatch.delenv(v, raising=False)
+    return rec
+
+
+def test_explicit_coordinator_forwards_args(recorder):
+    multihost.initialize(
+        coordinator_address="10.0.0.1:8476", num_processes=4, process_id=2
+    )
+    assert recorder.calls == [
+        "is_initialized",
+        ("initialize", dict(coordinator_address="10.0.0.1:8476",
+                            num_processes=4, process_id=2)),
+    ], "no backend query may precede jax.distributed.initialize()"
+
+
+def test_cluster_env_triggers_auto_init(recorder, monkeypatch):
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    multihost.initialize()
+    assert ("initialize", {}) in recorder.calls
+    assert "process_count" not in recorder.calls
+
+
+def test_single_host_no_init(recorder):
+    multihost.initialize()
+    assert recorder.calls == ["is_initialized"]
+
+
+def test_idempotent_when_already_initialized(recorder):
+    recorder.already = True
+    multihost.initialize(coordinator_address="10.0.0.1:8476")
+    assert recorder.calls == ["is_initialized"]
+
+
+def test_failures_propagate(recorder):
+    recorder.fail = True
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        multihost.initialize(coordinator_address="10.0.0.1:8476")

@@ -21,6 +21,20 @@ def test_parse_boxes_matches_reference_decode(lib):
     np.testing.assert_array_equal(N.parse_boxes("1.7 2.9 3.1 4.9"), [[1, 2, 3, 4]])
 
 
+def test_parse_beyond_default_cap_matches_fallback(lib):
+    # >512 annotations must decode identically on the native and numpy
+    # paths (the wrapper sizes the C buffer from the string, so the
+    # parser's cap can never truncate)
+    from dgod_tpu.data.dataset import decode_boxes_string, decode_labels_string
+
+    n = 700
+    box_s = ";".join(f"{i} {i + 1} {i + 10} {i + 20}" for i in range(n))
+    lab_s = ";".join(str(i % 8 + 1) for i in range(n))
+    np.testing.assert_array_equal(N.parse_boxes(box_s), decode_boxes_string(box_s))
+    np.testing.assert_array_equal(N.parse_labels(lab_s), decode_labels_string(lab_s))
+    assert N.parse_boxes(box_s).shape == (n, 4)
+
+
 def test_parse_labels(lib):
     np.testing.assert_array_equal(N.parse_labels("1;5;8"), [1, 5, 8])
     assert N.parse_labels("no_label").shape == (0,)
