@@ -65,15 +65,22 @@ class RPNHeadModule(nn.Module):
     def __call__(self, feats: List[jnp.ndarray]):
         conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)],
                        kernel_init=RPN_INIT, name="conv", dtype=self.dtype)
-        # prediction convs in f32: their outputs feed losses/decoding
-        cls = nn.Conv(A, (1, 1), kernel_init=RPN_INIT, name="cls_logits")
-        reg = nn.Conv(4 * A, (1, 1), kernel_init=RPN_INIT, name="bbox_pred")
+        # prediction convs compute in the model dtype (casting the
+        # 256-channel map to f32 first costs ~380 MB of HBM traffic at P2
+        # alone); only the tiny A/4A-channel OUTPUTS are cast to f32 for
+        # the losses/decoding
+        cls = nn.Conv(A, (1, 1), kernel_init=RPN_INIT, name="cls_logits",
+                      dtype=self.dtype)
+        reg = nn.Conv(4 * A, (1, 1), kernel_init=RPN_INIT, name="bbox_pred",
+                      dtype=self.dtype)
         objectness, deltas = [], []
         for f in feats:
-            t = nn.relu(conv(f)).astype(jnp.float32)
+            t = nn.relu(conv(f))
             B, H, W, _ = t.shape
-            objectness.append(cls(t).reshape(B, H * W * A))
-            deltas.append(reg(t).reshape(B, H * W * A, 4))
+            objectness.append(
+                cls(t).astype(jnp.float32).reshape(B, H * W * A))
+            deltas.append(
+                reg(t).astype(jnp.float32).reshape(B, H * W * A, 4))
         return objectness, deltas
 
 

@@ -21,7 +21,11 @@ from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.optim import OptConfig, apply_updates
-from ..train.steps import MODE_ACTIVE_GROUPS, build_active_mask
+from ..train.steps import (
+    MODE_ACTIVE_GROUPS,
+    build_active_mask,
+    stop_inactive_grads,
+)
 
 
 def make_spmd_train_step(
@@ -45,6 +49,7 @@ def make_spmd_train_step(
 
     def local_step(params, opt_state, batch, rng, lr_scale):
         def loss_fn(p):
+            p = stop_inactive_grads(p, active)
             return model.loss_for_mode(p, batch, rng, mode, reg_weights)
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -92,6 +97,7 @@ def make_spmd_pair_step(
 
     def half(params, opt_state, batch, rng, lr, mode):
         def loss_fn(p):
+            p = stop_inactive_grads(p, active_by_mode[mode])
             return model.loss_for_mode(p, batch, rng, mode, reg_weights)
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

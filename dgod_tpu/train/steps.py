@@ -55,6 +55,30 @@ def build_active_mask(labels, mode: int):
     return jax.tree.map(lambda lbl: lbl in active_groups, labels)
 
 
+def stop_inactive_grads(params, active):
+    """stop_gradient on every param leaf outside the mode's active groups.
+
+    In the single-device jit path this is belt-and-braces: apply_updates'
+    static mask already leaves inactive grads unused, and XLA dead-code
+    eliminates their backward (verified on-chip: identical throughput
+    either way). In the explicit-SPMD path (parallel/spmd.py) it is a real
+    pruning win: the single fused all-reduce ravels EVERY grad leaf, which
+    otherwise keeps the frozen backward alive — all FrozenBatchNorm
+    per-channel stat reductions over [B,H,W,C] activations, the frozen
+    conv1/layer1 weight+data grads, and the stem maxpool backward (~25 ms
+    of ResNet-50 fwd+bwd at 608x1216 batch 8 on v5e). The reference never
+    computes these either (requires_grad=False via
+    trainable_backbone_layers=3, reference fasterrcnn.py:317).
+
+    Gradients still FLOW THROUGH frozen layers' activations where needed;
+    only the paths into the stopped param leaves (and any backward subgraph
+    feeding nothing else, e.g. everything below layer2's input) get pruned.
+    """
+    return jax.tree.map(
+        lambda p, a: p if a else jax.lax.stop_gradient(p), params, active
+    )
+
+
 def make_train_step(
     model,
     mode: int,
@@ -71,6 +95,7 @@ def make_train_step(
 
     def step(params, opt_state, batch, rng, lr_scale):
         def loss_fn(p):
+            p = stop_inactive_grads(p, active)
             return model.loss_for_mode(p, batch, rng, mode, reg_weights)
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -112,6 +137,7 @@ def make_pair_step(
 
     def half(params, opt_state, batch, rng, lr, mode):
         def loss_fn(p):
+            p = stop_inactive_grads(p, active_by_mode[mode])
             return model.loss_for_mode(p, batch, rng, mode, reg_weights)
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

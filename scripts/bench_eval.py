@@ -100,6 +100,15 @@ def bench_family(family):
 
 
 def main():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     kind = sys.argv[1] if len(sys.argv) > 1 else "both"
     fams = ("FCOS", "FRCNN") if kind == "both" else (kind,)
     for fam in fams:

@@ -11,7 +11,11 @@ Must run before jax initialises.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the bench environment exports
+# JAX_PLATFORMS=axon (the TPU tunnel), and running this suite over the
+# tunnel serialises every dispatch through one remote chip — the suite
+# semantics are CPU-only by design (see module docstring).
+os.environ["JAX_PLATFORMS"] = "cpu"
 # On hosts where a TPU plugin registers even under JAX_PLATFORMS=cpu (the
 # axon tunnel does), jax.default_backend() reports 'tpu' inside this "CPU"
 # suite. Pin the dispatchers to the XLA paths: the CPU suite tests
