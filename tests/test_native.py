@@ -41,23 +41,53 @@ def test_parse_labels(lib):
     assert N.parse_labels("oops").shape == (0,)
 
 
-def test_prepare_image_matches_cv2(lib):
+@pytest.mark.parametrize("impl", ["native", "cv2"])
+def test_prepare_image_matches_cv2(lib, impl, monkeypatch):
     import cv2
 
+    monkeypatch.setenv("DGOD_IMAGE_PREP", impl)
     rng = np.random.RandomState(0)
     src = rng.randint(0, 255, (60, 120, 3), np.uint8)
     out = N.prepare_image(src, (64, 128), (30, 60), flip=False)
     ref = np.zeros((64, 128, 3), np.uint8)
     ref[:30, :60] = cv2.resize(src, (60, 30), interpolation=cv2.INTER_LINEAR)
-    # bilinear rounding may differ by 1 lsb
+    # bilinear rounding may differ by 1 lsb between impls
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
     # padding must be zero
     assert out[30:].sum() == 0 and out[:, 60:].sum() == 0
 
 
-def test_prepare_image_flip(lib):
+@pytest.mark.parametrize("impl", ["native", "cv2"])
+def test_prepare_image_flip(lib, impl, monkeypatch):
+    monkeypatch.setenv("DGOD_IMAGE_PREP", impl)
     src = np.zeros((10, 10, 3), np.uint8)
     src[:, :5] = 255  # left half white
     out = N.prepare_image(src, (10, 10), (10, 10), flip=True)
     assert out[:, :5].sum() == 0
     assert (out[:, 5:] == 255).all()
+
+
+def test_prepare_image_numpy_last_resort(monkeypatch):
+    """The pure-numpy path (no lib, no cv2) must stay within 2 LSB of cv2."""
+    import cv2
+
+    rng = np.random.RandomState(1)
+    src = rng.randint(0, 255, (60, 120, 3), np.uint8)
+    monkeypatch.setenv("DGOD_IMAGE_PREP", "cv2")
+    # simulate cv2 missing inside prepare_image by blocking its import
+    import builtins
+
+    real_import = builtins.__import__
+
+    def fake_import(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("blocked for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    out = N.prepare_image(src, (64, 128), (30, 60), flip=False)
+    monkeypatch.setattr(builtins, "__import__", real_import)
+    ref = np.zeros((64, 128, 3), np.uint8)
+    ref[:30, :60] = cv2.resize(src, (60, 30), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+    assert out[30:].sum() == 0 and out[:, 60:].sum() == 0
