@@ -121,8 +121,10 @@ def prepare_image(src: np.ndarray, canvas_hw, resized_hw, flip: bool) -> np.ndar
         # resize straight into the canvas view (cv2 accepts a row-strided
         # dst as long as pixels are contiguous) — skips the pad copy
         region = out[:rh, :rw]
-        cv2.resize(src, (rw, rh), dst=region,
-                   interpolation=cv2.INTER_LINEAR)
+        ret = cv2.resize(src, (rw, rh), dst=region,
+                         interpolation=cv2.INTER_LINEAR)
+        if ret is not region:  # cv2 reallocated instead of writing in place
+            region[...] = ret
         if flip:
             cv2.flip(region, 1, dst=region)
         return out
