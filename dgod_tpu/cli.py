@@ -55,6 +55,10 @@ def parser_args(argv=None):
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--metrics_path", type=str, default=None,
                         help="JSONL metrics log (train/val)")
+    parser.add_argument("--tb_dir", type=str, default=None,
+                        help="TensorBoard log dir (the reference's PL "
+                             "default logger, train_driving_dg.py:163); "
+                             "scalars mirror the JSONL metrics")
     parser.add_argument("--torch_weights", type=str, default=None,
                         help="torchvision .pth checkpoint to port as the "
                              "pretrained init (COCO detector or ImageNet "
@@ -125,7 +129,8 @@ def main(argv=None):
         model, train_loader, val_loader,
         reg_weights=args.reg_weights, dg=dg,
         max_epochs=args.max_epochs, ckpt_path=ckpt, seed=SEED,
-        metrics_path=args.metrics_path, warmup_steps=args.warmup_steps,
+        metrics_path=args.metrics_path, tb_dir=args.tb_dir,
+        warmup_steps=args.warmup_steps,
         torch_weights=args.torch_weights,
     )
     trainer.fit()

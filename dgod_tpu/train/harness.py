@@ -41,6 +41,7 @@ class Trainer:
         seed: int = 42,
         log_every: int = 50,
         metrics_path: str = None,
+        tb_dir: str = None,
         warmup_steps: int = 0,
         torch_weights: Optional[str] = None,
         fused_pairs: bool = True,
@@ -55,7 +56,7 @@ class Trainer:
         self.log_every = log_every
         from ..utils.logging import MetricsLogger
 
-        self.metrics = MetricsLogger(metrics_path)
+        self.metrics = MetricsLogger(metrics_path, tb_dir=tb_dir)
         # linear LR warmup for from-scratch runs. The reference never needs
         # it because it always warm-starts from COCO weights
         # (DGFRCNN.py:81 pretrained=True); at its raw SGD lr 2e-3 a

@@ -6,7 +6,9 @@ Here:
 
 - MetricsLogger: append-only JSONL (step/epoch scoped), cheap enough to
   call every step; plays the role of the reference's TensorBoard logger
-  with an analysis-friendly format.
+  (PL default, train_driving_dg.py:163) with an analysis-friendly format.
+  Pass tb_dir (or set DGOD_TB_DIR) to additionally emit TensorBoard
+  scalars so reference users keep their dashboards.
 - profile_steps(): capture a jax.profiler trace of N steps to a directory
   viewable in TensorBoard/Perfetto.
 """
@@ -21,16 +23,25 @@ from typing import Any, Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], tb_dir: Optional[str] = None):
         self.path = path
         self._f = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a", buffering=1)
+        self._tb = None
+        tb_dir = tb_dir or os.environ.get("DGOD_TB_DIR") or None
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tb_dir)
+            except Exception:  # tensorboard genuinely optional
+                self._tb = None
         self.t0 = time.time()
 
     def log(self, scope: str, step: int, metrics: Dict[str, Any]):
-        if self._f is None:
+        if self._f is None and self._tb is None:
             return
         rec = {
             "t": round(time.time() - self.t0, 3),
@@ -42,12 +53,21 @@ class MetricsLogger:
                 rec[k] = float(v)
             except (TypeError, ValueError):
                 rec[k] = str(v)
-        self._f.write(json.dumps(rec) + "\n")
+        if self._f is not None:
+            self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k in ("t", "scope", "step") or not isinstance(v, float):
+                    continue
+                self._tb.add_scalar(f"{scope}/{k}", v, step)
 
     def close(self):
         if self._f:
             self._f.close()
             self._f = None
+        if self._tb:
+            self._tb.close()
+            self._tb = None
 
 
 @contextmanager
