@@ -28,6 +28,25 @@ from ..train.steps import (
 )
 
 
+def reduce_active_grads(grads, active, axis="data"):
+    """ONE fused all-reduce over the mode's ACTIVE grad leaves only.
+
+    Inactive leaves are exactly zero on every replica (stop_inactive_grads)
+    and the optimizer's static mask never reads them, so reducing them only
+    burns interconnect: mode 2 (ins_cls only) would otherwise ship the whole
+    ResNet-50-FPN zero-gradient (~165 MB f32) per step. Returns grads with
+    active leaves pmean-ed and inactive leaves passed through.
+    """
+    flat_g, treedef = jax.tree.flatten(grads)
+    flat_a = jax.tree.leaves(active)
+    assert len(flat_g) == len(flat_a)
+    vec, unravel = ravel_pytree([g for g, a in zip(flat_g, flat_a) if a])
+    red = iter(unravel(jax.lax.pmean(vec, axis)))
+    return jax.tree.unflatten(
+        treedef, [next(red) if a else g for g, a in zip(flat_g, flat_a)]
+    )
+
+
 def make_spmd_train_step(
     model,
     mode: int,
@@ -53,9 +72,7 @@ def make_spmd_train_step(
             return model.loss_for_mode(p, batch, rng, mode, reg_weights)
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        flat, unravel = ravel_pytree(grads)
-        flat = jax.lax.pmean(flat, "data")  # ONE fused all-reduce
-        grads = unravel(flat)
+        grads = reduce_active_grads(grads, active)
         new_params, new_opt = apply_updates(
             params, grads, opt_state, active, base_lr * lr_scale, opt_config
         )
@@ -101,10 +118,9 @@ def make_spmd_pair_step(
             return model.loss_for_mode(p, batch, rng, mode, reg_weights)
 
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        flat, unravel = ravel_pytree(grads)
-        flat = jax.lax.pmean(flat, "data")
+        grads = reduce_active_grads(grads, active_by_mode[mode])
         new_params, new_opt = apply_updates(
-            params, unravel(flat), opt_state, active_by_mode[mode], lr,
+            params, grads, opt_state, active_by_mode[mode], lr,
             opt_config,
         )
         return new_params, new_opt, jax.lax.pmean(total, "data")

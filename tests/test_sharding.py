@@ -81,6 +81,47 @@ def test_data_parallel_grad_matches_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_reduce_active_grads_reduces_only_active():
+    """The fused all-reduce must pmean ACTIVE leaves and pass inactive
+    leaves through untouched (they are zero / optimizer-masked; shipping
+    them burns interconnect — e.g. mode 2 would all-reduce the whole
+    frozen detector)."""
+    from dgod_tpu.parallel.spmd import reduce_active_grads
+
+    devs = cpu_devices(4)
+    mesh = mesh_lib.make_mesh(devs)
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(0)
+    g_a = rng.rand(4, 6).astype(np.float32)  # row r = replica r's grad
+    g_b = rng.rand(4, 3).astype(np.float32)
+    active = {"a": True, "b": False}
+
+    def fn(g):
+        # per-replica leaves arrive as [1, k]; drop the shard dim
+        g = jax.tree.map(lambda x: x[0], g)
+        out = reduce_active_grads(g, active)
+        return jax.tree.map(lambda x: x[None], out)
+
+    mapped = shard_map(fn, mesh=mesh, in_specs=(P("data"),),
+                       out_specs=P("data"), check_vma=False)
+    grads = {
+        "a": jax.device_put(g_a, NamedSharding(mesh, P("data"))),
+        "b": jax.device_put(g_b, NamedSharding(mesh, P("data"))),
+    }
+    out = jax.jit(mapped)(grads)
+    # active leaf: every replica holds the mean over replicas
+    np.testing.assert_allclose(
+        np.asarray(out["a"]), np.tile(g_a.mean(0, keepdims=True), (4, 1)),
+        rtol=1e-6)
+    # inactive leaf: untouched local values
+    np.testing.assert_array_equal(np.asarray(out["b"]), g_b)
+
+
 def test_spmd_pair_step_matches_single_device():
     """Fused (mode0+mode1) pair under shard_map on a 2-way data mesh must
     match the single-device fused pair step."""
