@@ -80,13 +80,15 @@ def bench_family(family: str, batch) -> float:
     reg = (0.5, 0.5, 0.5, 0.05, 1e-4)
 
     # production DG path: fused (mode-0 + mode-k) pair steps — 4 pair
-    # programs per cycle = 8 optimizer steps, each batch dispatched once.
-    # donate=False: the 4 pair steps share params/opt_state buffers across
-    # compiled programs; donation would invalidate the previous pair's input
+    # programs per cycle = 8 optimizer steps, each batch dispatched once,
+    # donate=True exactly as harness.fit builds them (each program donates
+    # the incoming params/opt_state buffers and the loop rebinds to the
+    # returned ones, so no donated buffer is ever reused; covered by
+    # tests/test_train_e2e.py::test_fit_dg_fused_pairs)
     pair_modes = tuple(m for m in CYCLE if m != 0)
     steps = {
         k: step_lib.make_pair_step(
-            model, k, reg, opt_config, base_lr, params, donate=False
+            model, k, reg, opt_config, base_lr, params
         )
         for k in pair_modes
     }

@@ -121,3 +121,34 @@ def test_fused_pair_step_equals_sequential(patched_canvas):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-5,
             err_msg=str(path_a))
+
+
+def test_fit_dg_fused_pairs(tmp_path, patched_canvas):
+    """DG production path: 4 donated pair programs (modes 1-4) interleaved
+    over one params/opt_state chain — the exact buffer-donation pattern
+    harness.fit runs in `--exp dg` (reference schedule DGcommon.py:139-151).
+    Covers what the non_dg smoke test cannot: cross-program donation, the
+    fused scheduler, and the loader's duplicate-emission switch-off."""
+    train_ds = ConcatDataset([
+        SyntheticDataset(8, domain=0, image_hw=(120, 240)),
+        SyntheticDataset(8, domain=1, image_hw=(120, 240)),
+    ])
+    val_ds = SyntheticDataset(2, domain=0, image_hw=(120, 240), seed=7)
+
+    model = DGFCOSModel(num_classes=9, num_domains=2, canvas=CANVAS)
+    loader = TrainLoader(train_ds, 4, dg=True, num_workers=2, max_gt=16)
+    trainer = Trainer(
+        model,
+        loader,
+        EvalLoader(val_ds, 1, True, num_workers=2, max_gt=16),
+        dg=True,
+        max_epochs=1,
+        ckpt_path=str(tmp_path / "dg.ckpt"),
+        log_every=1,
+    )
+    assert trainer.fused_pairs
+    assert loader.dg is False  # replay moved in-program
+    best = trainer.fit()
+    assert np.isfinite(best)
+    # one epoch of 16 images / batch 4 = 4 pair steps = 8 optimizer steps
+    assert trainer.global_step == 8
