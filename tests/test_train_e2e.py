@@ -152,3 +152,26 @@ def test_fit_dg_fused_pairs(tmp_path, patched_canvas):
     assert np.isfinite(best)
     # one epoch of 16 images / batch 4 = 4 pair steps = 8 optimizer steps
     assert trainer.global_step == 8
+
+
+def test_batched_eval_matches_batch1_map(tmp_path, patched_canvas):
+    """mAP from Trainer.validate() must be identical at eval batch 1 and
+    batch 2 (incl. a padded tail batch): batching is a throughput lever
+    (VERDICT round-2 #7), never a semantics change. f32 compute so the
+    comparison is exact (bf16 batch-layout rounding would blur it)."""
+    import jax.numpy as jnp
+
+    ds = SyntheticDataset(5, domain=0, image_hw=(120, 240), seed=3)
+    model = DGFCOSModel(num_classes=9, num_domains=2, canvas=CANVAS,
+                        compute_dtype=jnp.float32)
+    trainer = Trainer(
+        model,
+        TrainLoader(ds, 2, dg=False, num_workers=2, max_gt=16),
+        EvalLoader(ds, 1, True, num_workers=2, max_gt=16),
+        dg=False,
+        max_epochs=0,
+        ckpt_path=str(tmp_path / "ev.ckpt"),
+    )
+    r1 = trainer.validate(EvalLoader(ds, 1, True, num_workers=2, max_gt=16))
+    r2 = trainer.validate(EvalLoader(ds, 2, True, num_workers=2, max_gt=16))
+    assert abs(r1["map_50"] - r2["map_50"]) < 1e-9, (r1, r2)
