@@ -99,3 +99,31 @@ def test_predict_shapes(model_and_params):
     dets = jax.jit(model.predict)(params, tiny_batch())
     assert dets["boxes"].shape == (2, 100, 4)
     assert dets["labels"].shape == (2, 100)
+
+
+def test_predict_batch_invariance():
+    """predict on a batch must equal predict per image (the whole FRCNN
+    eval path — RPN top-k/NMS, RoI head, class-wise postprocess — is
+    per-image; batching is purely a throughput lever). f32 so the
+    comparison is exact."""
+    model = DGFRCNNModel(num_classes=9, num_domains=2, canvas=CANVAS,
+                         config=SMALL, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = tiny_batch(b=2)
+    predict = jax.jit(model.predict)
+    full = predict(params, batch)
+    for i in range(2):
+        one = predict(params, {k: v[i:i + 1] for k, v in batch.items()})
+        # XLA:CPU picks different conv algorithms for batch 1 vs 2, so f32
+        # activations differ by ~1e-6 relative; detections must agree to
+        # that rounding with identical ranking/classes
+        np.testing.assert_array_equal(np.asarray(full["labels"][i]),
+                                      np.asarray(one["labels"][0]))
+        np.testing.assert_array_equal(np.asarray(full["valid"][i]),
+                                      np.asarray(one["valid"][0]))
+        np.testing.assert_allclose(np.asarray(full["scores"][i]),
+                                   np.asarray(one["scores"][0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(full["boxes"][i]),
+                                   np.asarray(one["boxes"][0]),
+                                   rtol=1e-4, atol=1e-3)
