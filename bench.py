@@ -24,9 +24,63 @@ Prints ONE JSON line.
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# How long to keep retrying when the TPU tunnel is down before giving up.
+# The tunnel on this host class flaps (see ROUND3.md "Infra outage"); a
+# transient outage at measurement time should not null the whole run.
+BENCH_WAIT_SECS = float(os.environ.get("DGOD_BENCH_WAIT_SECS", "900"))
+BENCH_PROBE_SECS = float(os.environ.get("DGOD_BENCH_PROBE_SECS", "120"))
+BENCH_RETRY_SLEEP_SECS = float(os.environ.get("DGOD_BENCH_RETRY_SLEEP_SECS", "60"))
+
+
+def _backend_probe(timeout_s: float):
+    """Try jax.devices() in a thread. Returns True (backend up — any
+    platform), False (init raised), or None (hung past timeout_s)."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            result["ok"] = True
+        except Exception as e:  # UNAVAILABLE: TPU backend setup error etc.
+            print(f"bench: backend init failed: {e}", file=sys.stderr)
+            result["ok"] = False
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return result.get("ok")
+
+
+def _wait_for_backend():
+    """If the backend is down/hung, re-exec this process until it comes up
+    or the deadline (carried across execs via env) expires. A fresh exec is
+    required because a failed/hung backend init cannot be retried in-process
+    and the axon relay slot is held for the life of the interpreter."""
+    ok = _backend_probe(BENCH_PROBE_SECS)
+    if ok:
+        return
+    deadline = os.environ.get("DGOD_BENCH_DEADLINE")
+    now = time.time()
+    if deadline is None:
+        deadline = now + BENCH_WAIT_SECS
+        os.environ["DGOD_BENCH_DEADLINE"] = repr(deadline)
+    elif now >= float(deadline):
+        print("bench: backend unavailable past deadline; giving up",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"bench: backend down/hung; retrying in {BENCH_RETRY_SLEEP_SECS:.0f}s "
+          f"(deadline in {float(deadline) - now:.0f}s)", file=sys.stderr)
+    time.sleep(BENCH_RETRY_SLEEP_SECS)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 REF_A100_IMG_PER_SEC = 18.0  # documented estimate, see module docstring
 BATCH = 8
@@ -115,6 +169,7 @@ def bench_family(family: str, batch) -> float:
 
 
 def main():
+    _wait_for_backend()
     import jax
 
     # the env var alone does not activate the persistent cache on this
