@@ -89,6 +89,70 @@ def main():
         e = np.abs(a - b).max() / s
         print(f"f32 bwd lvl{lvl} rel err: {e:.2e}  (scale {s:.2f})")
         assert e < 1e-5, f"bwd mismatch lvl{lvl}"
+
+    # dual window-class kernels (DGOD_ROI_SPLIT=1): parity vs the same XLA
+    # reference, then an fwd+bwd A/B against the single-class kernels at
+    # the production train shape — the recorded evidence that gates any
+    # dispatch-default change
+    got_s, vjp_got_s = jax.vjp(
+        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, False, True),
+        feats,
+    )
+    err = np.abs(ref - np.asarray(got_s)).max() / scale
+    print(f"split fwd rel err: {err:.2e}")
+    assert err < 1e-5, "split fwd mismatch"
+    (dgot_s,) = vjp_got_s(g)
+    for lvl, (a, b) in enumerate(zip(dref, dgot_s)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = np.abs(a).max() + 1e-9
+        e = np.abs(a - b).max() / s
+        print(f"split bwd lvl{lvl} rel err: {e:.2e}")
+        assert e < 1e-5, f"split bwd mismatch lvl{lvl}"
+
+    import time
+
+    Bp, Np = 8, 512  # RoI-head train shape (8 imgs x 512 sampled proposals)
+    featsp = tuple(
+        jnp.asarray(rng.randn(Bp, CANVAS[0] // s, CANVAS[1] // s, C) * 0.5,
+                    jnp.bfloat16)
+        for s in STRIDES
+    )
+    roisp = np.zeros((Bp, Np, 4), np.float32)
+    for b in range(Bp):
+        x1 = rng.uniform(0, 1100, Np)
+        y1 = rng.uniform(0, 500, Np)
+        # log-uniform sizes, matching sampled-proposal statistics better
+        # than uniform (most train RoIs are small)
+        w = np.exp(rng.uniform(np.log(8), np.log(400), Np))
+        h = np.exp(rng.uniform(np.log(8), np.log(300), Np))
+        roisp[b] = np.stack([x1, y1, x1 + w, y1 + h], 1)
+    roisp = jnp.asarray(roisp)
+    gp = jnp.asarray(rng.randn(Bp, Np, 7, 7, C) * 0.1, jnp.bfloat16)
+
+    def timed(split):
+        @jax.jit
+        def step(fs, r, gg):
+            out, vjp = jax.vjp(
+                lambda fs2: batched_roi_align_tpu(
+                    fs2, r, STRIDES, False, split),
+                fs,
+            )
+            return out, vjp(gg.astype(jnp.float32))
+
+        out = step(featsp, roisp, gp)  # compile + warm
+        jax.block_until_ready(out)
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(featsp, roisp, gp)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    t_base = timed(False)
+    t_split = timed(True)
+    print(f"A/B fwd+bwd at B={Bp} N={Np}: single-class {t_base:.2f} ms, "
+          f"split {t_split:.2f} ms ({t_base / t_split:.2f}x)")
     print("PASS")
 
 
