@@ -46,12 +46,29 @@ from jax.experimental.pallas import tpu as pltpu
 # window tile (cells of the assigned FPN level). 32x32 covers any RoI whose
 # sample span is <= 30 cells per axis in one tile — i.e. everything except
 # degenerate slivers (LevelMapper guarantees span_y*span_x < ~850 cells).
-TH = 32
-TW = 32
+def _parse_tile(env_name: str, default: "tuple[int, int]"):
+    """Window shape from env ('HxW'), validated for Mosaic: W a multiple
+    of 8 (DMA offsets along the sublane dim must stay 8-aligned), H a
+    multiple of 8 (conservative). Env-tunable so the real-chip A/B can
+    sweep shapes without code edits; defaults are the shipped config."""
+    s = os.environ.get(env_name, "")
+    if not s:
+        return default
+    h, w = (int(v) for v in s.lower().split("x"))
+    assert h % 8 == 0 and w % 8 == 0 and h > 0 and w > 0, (env_name, s)
+    return h, w
+
+
+TH, TW = _parse_tile("DGOD_ROI_TILE", (32, 32))
 # small-window class (split kernels): RoIs whose full sample span fits one
-# [TH_S, TW_S] window move 4x less HBM traffic per RoI
-TH_S = 16
-TW_S = 16
+# [TH_S, TW_S] window move (TH*TW)/(TH_S*TW_S)x less HBM traffic per RoI.
+# Traffic model at train-like log-uniform RoI stats (16k sampled):
+# {16x16 small + 32x32 tile} = 1.16x less bwd RMW traffic, {16x24 +
+# 16x32 tile} = 1.62x, {16x24 + 8x32 tile} = 1.92x, ideal per-RoI snapped
+# window = 3.12x — but smaller tiles issue more, shorter DMAs (latency),
+# so the winner is decided by the on-chip A/B, not the traffic model.
+TH_S, TW_S = _parse_tile("DGOD_ROI_TILE_SMALL", (16, 16))
+assert TH_S <= TH and TW_S <= TW, "small window must fit the padded level"
 P = 7  # output bins per axis
 S = 2  # sampling_ratio
 

@@ -149,9 +149,13 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n * 1e3
 
+    from dgod_tpu.ops.pallas_roi_align import TH, TH_S, TW, TW_S
+
     t_base = timed(False)
     t_split = timed(True)
-    print(f"A/B fwd+bwd at B={Bp} N={Np}: single-class {t_base:.2f} ms, "
+    print(f"A/B fwd+bwd at B={Bp} N={Np} "
+          f"[tile {TH}x{TW}, small {TH_S}x{TW_S}]: "
+          f"single-class {t_base:.2f} ms, "
           f"split {t_split:.2f} ms ({t_base / t_split:.2f}x)")
     print("PASS")
 

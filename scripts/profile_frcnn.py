@@ -59,6 +59,8 @@ def timeit(name, fn, *args, n=10):
 
 def main():
     B, CANVAS = 8, (608, 1216)
+    if os.environ.get("DGOD_PROFILE_SMOKE"):  # tiny-shape CPU dry pass
+        B, CANVAS = 2, (64, 128)
     rng = np.random.RandomState(0)
     boxes = np.zeros((B, 128, 4), np.float32)
     labels = np.zeros((B, 128), np.int32)
@@ -109,6 +111,44 @@ def main():
     timeit("roi_align fwd (512 rois)",
            lambda f, r: det.roi_align(f, r), feats, props[0][:, :512])
 
+    # loss-forward segments (attribute the residual between the stage sums
+    # and the measured whole): RPN loss incl. the anchor matcher + sampler;
+    # RoI sampling; box head; predictor+roi loss; and the RoIAlign
+    # fwd+bwd pair at the train RoI count
+    timeit("rpn loss (matcher+sample+loss)",
+           lambda o, d, gb, gv, k: det.rpn_loss(o, d, gb, gv, k),
+           obj, deltas, batch["boxes"], batch["gt_valid"], key)
+    timeit("select_training_samples",
+           lambda pr, pv, gb, gl, gv, k: det.select_training_samples(
+               pr, pv, gb, gl, gv, k),
+           props[0], props[1], batch["boxes"], batch["labels"],
+           batch["gt_valid"], key)
+    samp = jax.jit(
+        lambda pr, pv, gb, gl, gv, k: det.select_training_samples(
+            pr, pv, gb, gl, gv, k)
+    )(props[0], props[1], batch["boxes"], batch["labels"],
+      batch["gt_valid"], key)
+    rois512 = samp[0]
+    pooled = jax.jit(lambda f, r: det.roi_align(f, r))(feats, rois512)
+    timeit("box head fwd (512 rois, pooled)",
+           lambda p, x: det.box_head.apply({"params": p["box_head"]}, x),
+           dp, pooled)
+    bf = jax.jit(
+        lambda p, x: det.box_head.apply({"params": p["box_head"]}, x)
+    )(dp, pooled)
+    timeit("predictor+roi loss",
+           lambda p, x: det.roi_loss(
+               *det.box_predictions(p, x), samp[1], samp[2], samp[3]),
+           dp, bf)
+
+    def ra_step(f, r, g):
+        out, vjp = jax.vjp(lambda fs: det.roi_align(fs, r), f)
+        return vjp(g)
+
+    g512 = jnp.ones((B, 512, 7, 7, 256), jnp.float32)
+    timeit("roi_align fwd+bwd (512 rois)",
+           ra_step, list(feats), rois512, g512, n=5)
+
     def loss_only(p, b, k):
         return model.loss_for_mode(p, b, k, 0, reg)[0]
 
@@ -116,6 +156,9 @@ def main():
     timeit("mode0 fwd+bwd",
            lambda p, b, k: jax.grad(loss_only)(p, b, k),
            params, batch, key, n=5)
+
+    if os.environ.get("DGOD_PROFILE_SMOKE"):
+        return  # stage smoke only; the chained-step loops are chip-sized
 
     # K chained optimizer steps inside ONE jit: the true steady-state cost
     K = 4
