@@ -1,0 +1,67 @@
+"""CLI flag surface + dataset assembly parity with the reference
+train_driving_dg.py:29-51 (flags and their defaults) and :54-107
+(datasetsFromArguments: domain letters a/b/c/i in fixed order with
+sequential domain indices)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from dgod_tpu.cli import DOMAIN_SPECS, datasets_from_arguments, parser_args
+
+
+def test_flag_surface_defaults_match_reference():
+    args = parser_args([])
+    assert args.model == "FRCNN"
+    assert args.exp == "non_dg"
+    assert args.source_domains == "ABC"
+    assert args.target_domains == "I"
+    assert args.weights_folder == "ABC2I"
+    assert args.weights_file == "single_source_acdc"
+    assert args.reg_weights == [0.5, 0.5, 0.5, 0.05, 0.0001]
+    # TPU extras keep reference-parity defaults
+    assert args.batch_size == 8
+    assert args.eval_batch_size == 1
+    assert args.max_epochs == 100
+
+
+def test_reg_weights_nargs5():
+    args = parser_args(["--reg_weights", "1", "2", "3", "4", "5"])
+    assert args.reg_weights == [1.0, 2.0, 3.0, 4.0, 5.0]
+    with pytest.raises(SystemExit):
+        parser_args(["--reg_weights", "1", "2"])
+
+
+def _write_csvs(root):
+    for letter, (name, csv_tpl, _) in DOMAIN_SPECS.items():
+        for split in ("train", "val"):
+            path = os.path.join(root, csv_tpl.format(split=split))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pd.DataFrame(
+                {
+                    "image_name": [f"{name}_{split}.png"],
+                    "BoxesString": ["10 10 50 50"],
+                    "LabelsString": ["1"],
+                }
+            ).to_csv(path, index=False)
+
+
+def test_domain_letter_mapping_and_sequential_indices(tmp_path):
+    _write_csvs(str(tmp_path))
+    tr, tr_list, vl, test = datasets_from_arguments("abc", "i", str(tmp_path))
+    assert [d.domain for d in tr_list] == [0, 1, 2]
+    assert len(tr) == 3 and len(vl) == 3 and len(test) == 1
+
+    # canonical a->b->c->i iteration regardless of the input letter order
+    # (the reference walks its fixed letter sequence, not the input string)
+    _, tr_list2, _, _ = datasets_from_arguments("cab", "i", str(tmp_path))
+    assert [d.domain for d in tr_list2] == [0, 1, 2]
+    assert [d.image_names[0] for d in tr_list2] == [
+        "acdc_train.png", "bdd10k_train.png", "cityscapes_train.png"
+    ]
+
+    # target split uses val CSVs (the reference's test = val sweep over the
+    # held-out domain, train_driving_dg.py:166-168)
+    _, _, _, test_i = datasets_from_arguments("a", "i", str(tmp_path))
+    assert len(test_i) == 1
