@@ -106,15 +106,22 @@ def main(argv=None):
     )
     num_domains = len(tr_datasets)
 
+    # the model canvas must match the data pipeline's padded canvas — bind
+    # it to the single source of truth instead of a second default
+    from .data import transforms as T
+
+    canvas = T.CANVAS
     if args.model == "FRCNN":
         from .models.dg_frcnn import DGFRCNNModel
 
-        model = DGFRCNNModel(num_classes=9, num_domains=num_domains)
+        model = DGFRCNNModel(
+            num_classes=9, num_domains=num_domains, canvas=canvas)
         val_resize = False  # raw-size val path (train_driving_dg.py:137-138)
     elif args.model == "FCOS":
         from .models.dg_fcos import DGFCOSModel
 
-        model = DGFCOSModel(num_classes=9, num_domains=num_domains)
+        model = DGFCOSModel(
+            num_classes=9, num_domains=num_domains, canvas=canvas)
         val_resize = True  # Resize(600,1200) val path (train_driving_dg.py:140-142)
     else:
         raise ValueError(args.model)

@@ -65,3 +65,53 @@ def test_domain_letter_mapping_and_sequential_indices(tmp_path):
     # held-out domain, train_driving_dg.py:166-168)
     _, _, _, test_i = datasets_from_arguments("a", "i", str(tmp_path))
     assert len(test_i) == 1
+
+
+def test_cli_main_end_to_end(tmp_path, monkeypatch):
+    """python train_driving_dg.py --model FCOS --exp non_dg ... on synthetic
+    PNGs + CSVs: the FULL L6 path (arg parsing -> dataset assembly ->
+    loaders -> Trainer.fit -> checkpoint -> test sweep), reduced canvas."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from dgod_tpu.data import transforms as T
+
+    monkeypatch.setattr(T, "CANVAS", (128, 256))
+    monkeypatch.setattr(T, "TRAIN_SIZE", (120, 240))
+    monkeypatch.setattr(T, "MIN_SIZE", 120)
+    monkeypatch.setattr(T, "MAX_SIZE", 240)
+    monkeypatch.setattr(T, "MIN_AREA", 4.0)
+
+    rng = np.random.RandomState(0)
+    root = str(tmp_path)
+    for letters, split in (("a", "train"), ("a", "val"), ("i", "val")):
+        name, csv_tpl, root_tpl = DOMAIN_SPECS[letters]
+        img_root = os.path.join(root, root_tpl.format(split=split))
+        os.makedirs(img_root, exist_ok=True)
+        names, bs, ls = [], [], []
+        for i in range(4):
+            fname = f"{name}_{split}_{i}.png"
+            img = rng.randint(0, 255, (120, 240, 3), np.uint8)
+            img[30:80, 40:120] = (250, 30, 30)  # a "car"
+            assert cv2.imwrite(os.path.join(img_root, fname), img)
+            names.append(fname)
+            bs.append("40 30 120 80")
+            ls.append("3")
+        csv_path = os.path.join(root, csv_tpl.format(split=split))
+        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+        pd.DataFrame(
+            {"image_name": names, "BoxesString": bs, "LabelsString": ls}
+        ).to_csv(csv_path, index=False)
+
+    from dgod_tpu import cli
+
+    result = cli.main([
+        "--model", "FCOS", "--exp", "non_dg",
+        "--source_domains", "A", "--target_domains", "I",
+        "--max_epochs", "1", "--batch_size", "2",
+        "--data_root", root,
+        "--weights_folder", os.path.join(root, "w"),
+        "--weights_file", "t",
+    ])
+    assert "map_50" in result
+    assert os.path.exists(os.path.join(root, "w", "t.ckpt"))
