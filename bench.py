@@ -38,8 +38,8 @@ BENCH_RETRY_SLEEP_SECS = float(os.environ.get("DGOD_BENCH_RETRY_SLEEP_SECS", "60
 
 
 def _backend_probe(timeout_s: float):
-    """Try jax.devices() in a thread. Returns True (backend up — any
-    platform), False (init raised), or None (hung past timeout_s)."""
+    """Try jax.devices() in a thread. Returns 'tpu' (TPU up), 'other'
+    (healthy non-TPU backend), False (init raised), or None (hung)."""
     import threading
 
     result = {}
@@ -48,8 +48,11 @@ def _backend_probe(timeout_s: float):
         try:
             import jax
 
-            jax.devices()
-            result["ok"] = True
+            devs = jax.devices()
+            result["ok"] = (
+                "tpu" if any(d.platform == "tpu" for d in devs) else "other"
+            )
+            result["platform"] = devs[0].platform
         except Exception as e:  # UNAVAILABLE: TPU backend setup error etc.
             print(f"bench: backend init failed: {e}", file=sys.stderr)
             result["ok"] = False
@@ -57,17 +60,30 @@ def _backend_probe(timeout_s: float):
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return result.get("ok")
+    return result.get("ok"), result.get("platform")
 
 
 def _wait_for_backend():
     """If the backend is down/hung, re-exec this process until it comes up
     or the deadline (carried across execs via env) expires. A fresh exec is
     required because a failed/hung backend init cannot be retried in-process
-    and the axon relay slot is held for the life of the interpreter."""
-    ok = _backend_probe(BENCH_PROBE_SECS)
-    if ok:
+    and the axon relay slot is held for the life of the interpreter.
+
+    A HEALTHY non-TPU backend is not a retry case: it means the process
+    would silently benchmark CPU/GPU and record that as the round's number.
+    Fail fast instead, unless DGOD_BENCH_ALLOW_CPU=1 opts in (smoke runs)."""
+    ok, platform = _backend_probe(BENCH_PROBE_SECS)
+    if ok == "tpu":
         return
+    if ok == "other":
+        if os.environ.get("DGOD_BENCH_ALLOW_CPU") == "1":
+            print(f"bench: non-TPU backend '{platform}' accepted "
+                  "(DGOD_BENCH_ALLOW_CPU=1)", file=sys.stderr)
+            return
+        print(f"bench: backend is '{platform}', not TPU — refusing to "
+              "record a non-TPU benchmark (set DGOD_BENCH_ALLOW_CPU=1 "
+              "to override)", file=sys.stderr)
+        sys.exit(1)
     deadline = os.environ.get("DGOD_BENCH_DEADLINE")
     now = time.time()
     if deadline is None:

@@ -62,7 +62,9 @@ def _place_on_canvas(img: np.ndarray, canvas_hw=None) -> np.ndarray:
     return out
 
 
-def _min_area_filter(boxes, labels, min_area=MIN_AREA):
+def _min_area_filter(boxes, labels, min_area=None):
+    min_area = MIN_AREA if min_area is None else min_area  # late-bound like
+    # CANVAS above, so tests patching the module global actually take effect
     if len(boxes) == 0:
         return boxes, labels
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])

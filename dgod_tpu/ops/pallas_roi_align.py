@@ -81,8 +81,12 @@ _FORCE_SERIAL_BWD = bool(int(os.environ.get(
 
 def _env_split() -> bool:
     """Default for the dual window-class kernels. OFF until the on-chip
-    A/B (scripts/check_pallas_roi_tpu.py --split) records a win — kernel
-    dispatch defaults change only with recorded real-chip evidence."""
+    A/B (scripts/check_pallas_roi_tpu.py runs it unconditionally) records
+    a win — kernel dispatch defaults change only with recorded real-chip
+    evidence. The split kernels deliberately DUPLICATE the single-class
+    kernels rather than parameterizing them: the single-class path is
+    chip-certified and must stay byte-identical until the tunnel returns
+    and re-certification runs; consolidate after the A/B picks a winner."""
     return bool(int(os.environ.get("DGOD_ROI_SPLIT", "0")))
 
 

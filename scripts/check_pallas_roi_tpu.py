@@ -130,6 +130,18 @@ def main():
     roisp = jnp.asarray(roisp)
     gp = jnp.asarray(rng.randn(Bp, Np, 7, 7, C) * 0.1, jnp.bfloat16)
 
+    # tunnel-safe timing: block_until_ready returns before remote execution
+    # completes on the axon backend (profile_frcnn.py:4-9), so reduce to a
+    # scalar INSIDE jit and fetch it per call; the fixed per-call
+    # round-trip is calibrated and subtracted
+    triv = jax.jit(lambda x: (x * 2).sum())
+    xs = jnp.ones((8,))
+    float(triv(xs))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(triv(xs))
+    rt = (time.perf_counter() - t0) / 20 * 1e3
+
     def timed(split):
         @jax.jit
         def step(fs, r, gg):
@@ -138,16 +150,17 @@ def main():
                     fs2, r, STRIDES, False, split),
                 fs,
             )
-            return out, vjp(gg.astype(jnp.float32))
+            (grads,) = vjp(gg.astype(jnp.float32))
+            return out.astype(jnp.float32).sum() + sum(
+                g.astype(jnp.float32).sum() for g in grads
+            )
 
-        out = step(featsp, roisp, gp)  # compile + warm
-        jax.block_until_ready(out)
+        float(step(featsp, roisp, gp))  # compile + warm
         n = 10
         t0 = time.perf_counter()
         for _ in range(n):
-            out = step(featsp, roisp, gp)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n * 1e3
+            float(step(featsp, roisp, gp))
+        return (time.perf_counter() - t0) / n * 1e3 - rt
 
     from dgod_tpu.ops.pallas_roi_align import TH, TH_S, TW, TW_S
 
