@@ -46,14 +46,38 @@ def make_gt(rng, span=(1100, 500)):
     return jnp.asarray(boxes), jnp.asarray(valid)
 
 
+_RT = None  # calibrated per-call tunnel round-trip (ms)
+
+
+def _calibrate():
+    global _RT
+    triv = jax.jit(lambda x: (x * 2).sum())
+    x = jnp.ones((8,))
+    float(triv(x))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(triv(x))
+    _RT = (time.perf_counter() - t0) / 20 * 1e3
+
+
 def timeit(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # tunnel-safe sync: block_until_ready returns before remote execution
+    # completes on the axon backend (profile_frcnn.py:4-9); reduce to a
+    # scalar inside jit and fetch it, subtracting the calibrated per-call
+    # round-trip
+    if _RT is None:
+        _calibrate()
+    wrapped = jax.jit(
+        lambda *a: sum(
+            v.astype(jnp.float32).sum()
+            for v in jax.tree_util.tree_leaves(fn(*a))
+        )
+    )
+    float(wrapped(*args))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+        float(wrapped(*args))
+    return (time.perf_counter() - t0) / n * 1e3 - _RT  # ms
 
 
 def xla_iou_match(gt_b, gt_v, anchors, hi, lo, allow):
