@@ -164,11 +164,15 @@ def bench_family(family: str, batch) -> float:
     }
 
     key = jax.random.PRNGKey(0)
-    # warmup/compile
+    # warmup/compile. Sync by FETCHING the last loss, not block_until_ready:
+    # on the tunnel backend block_until_ready can return before remote
+    # execution completes (see profile_frcnn.py:4-9); the last step's loss
+    # depends on the whole params chain, so one scalar fetch forces the
+    # full sequence (its ~one round-trip cost is noise over 24 steps)
     for k in pair_modes:
         params, opt_state, metrics = steps[k](
             params, opt_state, batch, key, key, 1.0)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     n_cycles = 6
     t0 = time.perf_counter()
@@ -176,7 +180,7 @@ def bench_family(family: str, batch) -> float:
         for k in pair_modes:
             params, opt_state, metrics = steps[k](
                 params, opt_state, batch, key, key, 1.0)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     # count optimizer-step images like the reference's images/sec (BATCH
