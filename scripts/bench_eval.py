@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 CANVAS = (608, 1216)
+N_TIMED = 30
+if os.environ.get("DGOD_BENCH_EVAL_SMOKE"):  # tiny-shape CPU dry pass
+    CANVAS = (64, 128)
+    N_TIMED = 2
 
 
 def make_batch(b, seed=0):
@@ -74,7 +78,7 @@ def bench_family(family):
     for b in (1, 8):
         batch = jax.device_put(make_batch(b))
         float(scored(params, batch))  # compile + warm
-        n = 30
+        n = N_TIMED
         t0 = time.perf_counter()
         for _ in range(n):
             float(scored(params, batch))

@@ -67,10 +67,13 @@ def test_domain_letter_mapping_and_sequential_indices(tmp_path):
     assert len(test_i) == 1
 
 
-def test_cli_main_end_to_end(tmp_path, monkeypatch):
-    """python train_driving_dg.py --model FCOS --exp non_dg ... on synthetic
-    PNGs + CSVs: the FULL L6 path (arg parsing -> dataset assembly ->
-    loaders -> Trainer.fit -> checkpoint -> test sweep), reduced canvas."""
+@pytest.mark.parametrize("family", ["FCOS", "FRCNN"])
+def test_cli_main_end_to_end(tmp_path, monkeypatch, family):
+    """python train_driving_dg.py --model FCOS|FRCNN --exp non_dg ... on
+    synthetic PNGs + CSVs: the FULL L6 path (arg parsing -> dataset
+    assembly -> loaders -> Trainer.fit -> checkpoint -> test sweep),
+    reduced canvas. FRCNN additionally drives the val_resize=False
+    raw-size eval path (train_driving_dg.py:137-138)."""
     cv2 = pytest.importorskip("cv2")
     import numpy as np
 
@@ -106,7 +109,7 @@ def test_cli_main_end_to_end(tmp_path, monkeypatch):
     from dgod_tpu import cli
 
     result = cli.main([
-        "--model", "FCOS", "--exp", "non_dg",
+        "--model", family, "--exp", "non_dg",
         "--source_domains", "A", "--target_domains", "I",
         "--max_epochs", "1", "--batch_size", "2",
         "--data_root", root,
