@@ -43,9 +43,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# window tile (cells of the assigned FPN level). 32x32 covers any RoI whose
-# sample span is <= 30 cells per axis in one tile — i.e. everything except
-# degenerate slivers (LevelMapper guarantees span_y*span_x < ~850 cells).
+# window tile (cells of the assigned FPN level). Default 16x32 won the
+# real-chip shape sweep at production shapes (B=8, N=512, C=256, fwd+bwd,
+# v5e): 16x32 = 23.3/29.2/31.0 ms across runs vs 32x32 = 37.1/35.6/34.9 ms
+# (back-to-back A/B recorded 2026-08-18; 8x32=26.5, 16x24=29.7, 24x32=32.4,
+# 16x40+/16x48 lost). Taller RoIs just take more vertical tiles — exactness
+# is unaffected (LevelMapper guarantees span_y*span_x < ~850 cells).
 def _parse_tile(env_name: str, default: "tuple[int, int]"):
     """Window shape from env ('HxW'), validated for Mosaic: W a multiple
     of 8 (DMA offsets along the sublane dim must stay 8-aligned), H a
@@ -59,7 +62,7 @@ def _parse_tile(env_name: str, default: "tuple[int, int]"):
     return h, w
 
 
-TH, TW = _parse_tile("DGOD_ROI_TILE", (32, 32))
+TH, TW = _parse_tile("DGOD_ROI_TILE", (16, 32))
 # small-window class (split kernels): RoIs whose full sample span fits one
 # [TH_S, TW_S] window move (TH*TW)/(TH_S*TW_S)x less HBM traffic per RoI.
 # Traffic model at train-like log-uniform RoI stats (16k sampled):
