@@ -168,12 +168,16 @@ def main():
                 model, 0, reg, opt_config, base_lr, params, donate=False)
 
             def loop(p, o, b, k):
+                # carry the loss sum through the loop: returning a single
+                # param leaf lets XLA DCE every step whose first leaf is a
+                # FROZEN param (identity update under freeze-pruning)
                 def body(i, carry):
-                    p, o = carry
+                    p, o, acc = carry
                     p, o, m = step(p, o, b, jax.random.fold_in(k, i), 1.0)
-                    return (p, o)
-                p, o = jax.lax.fori_loop(0, K, body, (p, o))
-                return jax.tree_util.tree_leaves(p)[0]
+                    return (p, o, acc + _scalarize(m))
+                p, o, acc = jax.lax.fori_loop(
+                    0, K, body, (p, o, jnp.float32(0)))
+                return acc
 
             name = f"mode0 step (x{K} chained)"
         else:
@@ -183,12 +187,13 @@ def main():
 
             def loop(p, o, b, k, pair=pair):
                 def body(i, carry):
-                    p, o = carry
+                    p, o, acc = carry
                     p, o, m = pair(p, o, b, jax.random.fold_in(k, i),
                                    jax.random.fold_in(k, i + 99), 1.0)
-                    return (p, o)
-                p, o = jax.lax.fori_loop(0, K, body, (p, o))
-                return jax.tree_util.tree_leaves(p)[0]
+                    return (p, o, acc + _scalarize(m))
+                p, o, acc = jax.lax.fori_loop(
+                    0, K, body, (p, o, jnp.float32(0)))
+                return acc
 
             name = f"fused pair (0+{mode_k}) (x{K} chained)"
 
