@@ -126,7 +126,13 @@ def prepare_image(src: np.ndarray, canvas_hw, resized_hw, flip: bool) -> np.ndar
         if ret is not region:  # cv2 reallocated instead of writing in place
             region[...] = ret
         if flip:
-            cv2.flip(region, 1, dst=region)
+            # same reallocation guard as resize above: cv2 may return a
+            # fresh array instead of writing the row-strided view, and a
+            # silently dropped flip means mirrored GT boxes over unflipped
+            # pixels (transforms.py mirrors boxes unconditionally)
+            ret = cv2.flip(region, 1, dst=region)
+            if ret is not region:
+                region[...] = ret
         return out
     # pure-numpy last resort (nearest-ish bilinear via float32)
     ys = np.clip(((np.arange(rh) + 0.5) * src.shape[0] / rh - 0.5), 0, None)

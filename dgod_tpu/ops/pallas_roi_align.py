@@ -63,15 +63,13 @@ def _parse_tile(env_name: str, default: "tuple[int, int]"):
 
 
 TH, TW = _parse_tile("DGOD_ROI_TILE", (16, 32))
-# small-window class (split kernels): RoIs whose full sample span fits one
-# [TH_S, TW_S] window move (TH*TW)/(TH_S*TW_S)x less HBM traffic per RoI.
-# Traffic model at train-like log-uniform RoI stats (16k sampled):
-# {16x16 small + 32x32 tile} = 1.16x less bwd RMW traffic, {16x24 +
-# 16x32 tile} = 1.62x, {16x24 + 8x32 tile} = 1.92x, ideal per-RoI snapped
-# window = 3.12x — but smaller tiles issue more, shorter DMAs (latency),
-# so the winner is decided by the on-chip A/B, not the traffic model.
-TH_S, TW_S = _parse_tile("DGOD_ROI_TILE_SMALL", (16, 16))
-assert TH_S <= TH and TW_S <= TW, "small window must fit the padded level"
+# NOTE: a dual window-class variant ("split" kernels: small [16,16]-ish
+# windows for RoIs whose sample span fits, full tile otherwise) was built
+# and measured on-chip in round 3 — its predicted HBM-traffic win did not
+# materialize (A/B deltas 0.82x-1.17x, tunnel-noise level; the backward is
+# latency-bound on RMW handoffs, not bandwidth-bound) — so it was removed
+# rather than kept as a second copy of this file's subtlest machinery.
+# Sweep table and analysis: ROUND3.md.
 P = 7  # output bins per axis
 S = 2  # sampling_ratio
 
@@ -82,26 +80,13 @@ _FORCE_SERIAL_BWD = bool(int(os.environ.get(
     "DGOD_ROI_ALIGN_SERIAL_BWD", "0")))
 
 
-def _env_split() -> bool:
-    """Default for the dual window-class kernels. OFF until the on-chip
-    A/B (scripts/check_pallas_roi_tpu.py runs it unconditionally) records
-    a win — kernel dispatch defaults change only with recorded real-chip
-    evidence. The split kernels deliberately DUPLICATE the single-class
-    kernels rather than parameterizing them: the single-class path is
-    chip-certified and must stay byte-identical until the tunnel returns
-    and re-certification runs; consolidate after the A/B picks a winner."""
-    return bool(int(os.environ.get("DGOD_ROI_SPLIT", "0")))
-
-
 def _level_meta(rois, strides, sizes, padded, n_levels, b_idx=None,
-                canonical_scale=224.0, canonical_level=4, split=False):
-    """Vectorised per-RoI metadata (XLA side). rois [R,4] -> [14,R]/[4,R].
+                canonical_scale=224.0, canonical_level=4):
+    """Vectorised per-RoI metadata (XLA side). rois [R,4] -> [13,R]/[4,R].
 
     Rows 0-9 feed both kernels (level, window origins/counts, slot chain,
     level sizes); rows 10-12 (safe_next, alias_intra, image index) schedule
-    the backward's pipelined read-modify-write; row 13 (split=True only)
-    marks RoIs whose whole sample span fits one [TH_S, TW_S] window — the
-    split kernels move 4x less HBM traffic for those."""
+    the backward's pipelined read-modify-write."""
     area = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 0.0)
     k = jnp.floor(
         canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
@@ -143,21 +128,7 @@ def _level_meta(rois, strides, sizes, padded, n_levels, b_idx=None,
 
     y0, n_ty = axis_window(y1, bin_h, hs, hps, TH)
     x0, n_tx = axis_window(x1, bin_w, ws, wps, TW, align=8)
-    if split:
-        # classify: small <=> the whole sample span fits ONE small window
-        # (after the 8-align-down widening on x); everything else keeps the
-        # large-window tiling
-        y0s, n_tys = axis_window(y1, bin_h, hs, hps, TH_S)
-        x0s, n_txs = axis_window(x1, bin_w, ws, wps, TW_S, align=8)
-        small = (n_tys == 1) & (n_txs == 1)
-        y0 = jnp.where(small, y0s, y0)
-        x0 = jnp.where(small, x0s, x0)
-        n_ty = jnp.where(small, 1, n_ty)
-        n_tx = jnp.where(small, 1, n_tx)
-    else:
-        small = jnp.zeros(rois.shape[:1], bool)
-    th = jnp.where(small, TH_S, TH)
-    tw = jnp.where(small, TW_S, TW)
+    th, tw = TH, TW
     n_t = n_ty * n_tx
     # DMA slot of each RoI's first tile under global 2-slot round-robin
     slot0 = (jnp.cumsum(n_t) - n_t) % 2
@@ -193,8 +164,8 @@ def _level_meta(rois, strides, sizes, padded, n_levels, b_idx=None,
     # minor dim must be R (typically a multiple of 128), not the field count
     meta_i = jnp.stack(
         [lvl, y0, x0, n_tx, n_t, slot0, hs, ws, hps, wps,
-         safe, alias_intra, b_idx, small.astype(jnp.int32)], axis=0
-    ).astype(jnp.int32)  # [14, R]
+         safe, alias_intra, b_idx], axis=0
+    ).astype(jnp.int32)  # [13, R]
     meta_f = jnp.stack([y1, x1, bin_h, bin_w], axis=0)  # [4, R]
     return meta_i, meta_f
 
@@ -492,243 +463,6 @@ def _bwd_kernel(n_levels, n_rois, mi, mf, g_ref, *args):
     gout[0] = jnp.zeros_like(gout[0])
 
 
-def _fwd_kernel_split(n_levels, n_rois, mi, mf, *args):
-    """Dual window-class variant of _fwd_kernel: meta row 13 assigns each
-    RoI a [TH_S, TW_S] or [TH, TW] VMEM window (4x less DMA traffic for
-    RoIs that fit the small window — most train-time proposals). Pipeline
-    structure is identical: one global 2-slot round-robin; the classes
-    share the slot parity and the DMA semaphores (at most one copy is in
-    flight per slot, so every wait reconstructs the same descriptor — and
-    byte count — as the copy that was started)."""
-    level_refs = args[:n_levels]
-    out_ref = args[n_levels]
-    win_l = args[n_levels + 1]
-    win_s = args[n_levels + 2]
-    sems = args[n_levels + 3]
-
-    i = pl.program_id(0)
-    nsteps = pl.num_programs(0)
-
-    def tile_origin(roi, t, th, tw):
-        n_tx = mi[3, roi]
-        ty = t // n_tx
-        tx = t % n_tx
-        y_orig = jnp.minimum(mi[1, roi] + ty * th, mi[8, roi] - th)
-        x_orig = pl.multiple_of(
-            jnp.minimum(mi[2, roi] + tx * tw, mi[9, roi] - tw), 8
-        )
-        return ty, tx, y_orig, x_orig
-
-    def each_copy(roi, t, slot):
-        """(condition, copy) for every (class, level) combination."""
-        lvl = mi[0, roi]
-        sm = mi[13, roi] > 0
-        b = roi // n_rois
-        for small, win, th, tw in (
-            (True, win_s, TH_S, TW_S), (False, win_l, TH, TW)
-        ):
-            _, _, y_orig, x_orig = tile_origin(roi, t, th, tw)
-            cls = sm if small else ~sm
-            for li, ref in enumerate(level_refs):
-                yield cls & (lvl == li), pltpu.make_async_copy(
-                    ref.at[b, pl.ds(y_orig, th), pl.ds(x_orig, tw), :],
-                    win.at[slot],
-                    sems.at[slot],
-                )
-
-    def start(roi, t, slot):
-        for cond, cp in each_copy(roi, t, slot):
-            @pl.when(cond)
-            def _(cp=cp):
-                cp.start()
-
-    def wait(roi, t, slot):
-        for cond, cp in each_copy(roi, t, slot):
-            @pl.when(cond)
-            def _(cp=cp):
-                cp.wait()
-
-    @pl.when(i == 0)
-    def _():
-        start(0, 0, 0)
-
-    n_t = mi[4, i]
-    slot0 = mi[5, i]
-    out_ref[0] = jnp.zeros_like(out_ref[0])
-    sm_i = mi[13, i] > 0
-
-    def body(t, _):
-        slot = (slot0 + t) % 2
-        wait(i, t, slot)
-
-        @pl.when(t + 1 < n_t)
-        def _():
-            start(i, t + 1, (slot + 1) % 2)
-
-        @pl.when((t + 1 >= n_t) & (i + 1 < nsteps))
-        def _():
-            start(i + 1, 0, (slot + 1) % 2)
-
-        for small, win, th, tw in (
-            (True, win_s, TH_S, TW_S), (False, win_l, TH, TW)
-        ):
-            @pl.when(sm_i if small else ~sm_i)
-            def _(win=win, th=th, tw=tw):
-                ty, tx, y_orig, x_orig = tile_origin(i, t, th, tw)
-                w2 = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig,
-                               th=th, tw=tw)
-                fwin = win[slot].astype(jnp.float32).reshape(th * tw, -1)
-                out_ref[0] += jax.lax.dot(
-                    w2, fwin,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-        return 0
-
-    jax.lax.fori_loop(0, n_t, body, 0)
-
-
-def _bwd_kernel_split(n_levels, n_rois, mi, mf, g_ref, *args):
-    """Dual window-class variant of _bwd_kernel (see _fwd_kernel_split for
-    the window/semaphore sharing argument; the RMW scheduling — alias
-    flags, drains, serialized handoffs — is class-independent scalar logic
-    and is unchanged)."""
-    grad_refs = args[n_levels : 2 * n_levels]
-    gout = args[2 * n_levels]
-    win_l = args[2 * n_levels + 1]
-    win_s = args[2 * n_levels + 2]
-    rsem = args[2 * n_levels + 3]
-    wsem = args[2 * n_levels + 4]
-
-    i = pl.program_id(0)
-    nsteps = pl.num_programs(0)
-
-    def tile_origin(roi, t, th, tw):
-        n_tx = mi[3, roi]
-        ty = t // n_tx
-        tx = t % n_tx
-        y_orig = jnp.minimum(mi[1, roi] + ty * th, mi[8, roi] - th)
-        x_orig = pl.multiple_of(
-            jnp.minimum(mi[2, roi] + tx * tw, mi[9, roi] - tw), 8
-        )
-        return ty, tx, y_orig, x_orig
-
-    def each_copy(roi, t, slot, to_hbm):
-        lvl = mi[0, roi]
-        sm = mi[13, roi] > 0
-        b = mi[12, roi]
-        for small, win, th, tw in (
-            (True, win_s, TH_S, TW_S), (False, win_l, TH, TW)
-        ):
-            _, _, y_orig, x_orig = tile_origin(roi, t, th, tw)
-            cls = sm if small else ~sm
-            for li, ref in enumerate(grad_refs):
-                window = ref.at[b, pl.ds(y_orig, th), pl.ds(x_orig, tw), :]
-                if to_hbm:
-                    cp = pltpu.make_async_copy(
-                        win.at[slot], window, wsem.at[slot]
-                    )
-                else:
-                    cp = pltpu.make_async_copy(
-                        window, win.at[slot], rsem.at[slot]
-                    )
-                yield cls & (lvl == li), cp
-
-    def start(roi, t, slot, to_hbm):
-        for cond, cp in each_copy(roi, t, slot, to_hbm):
-            @pl.when(cond)
-            def _(cp=cp):
-                cp.start()
-
-    def wait(roi, t, slot, to_hbm):
-        for cond, cp in each_copy(roi, t, slot, to_hbm):
-            @pl.when(cond)
-            def _(cp=cp):
-                cp.wait()
-
-    @pl.when(i == 0)
-    def _():
-        start(0, 0, 0, False)
-
-    n_t = mi[4, i]
-    slot0 = mi[5, i]
-    g = g_ref[0]  # [56, C] f32 (rows 49..55 zero-padded by caller)
-    alias_intra = mi[11, i] > 0
-    sm_i = mi[13, i] > 0
-
-    def body(t, _):
-        slot = (slot0 + t) % 2
-        wait(i, t, slot, False)
-
-        prev_in_roi = t > 0
-        proi = jnp.where(prev_in_roi, i, i - 1)
-        pt = jnp.where(prev_in_roi, t - 1, mi[4, jnp.maximum(i - 1, 0)] - 1)
-        prev_serialized = jnp.where(
-            prev_in_roi, alias_intra, mi[10, jnp.maximum(i - 1, 0)] == 0
-        )
-
-        @pl.when(((i > 0) | (t > 0)) & ~prev_serialized)
-        def _():
-            wait(proi, pt, (slot + 1) % 2, True)
-
-        have_next_tile = t + 1 < n_t
-        have_next_roi = (t + 1 >= n_t) & (i + 1 < nsteps)
-        safe_cross = mi[10, i] > 0
-
-        @pl.when(have_next_tile & ~alias_intra)
-        def _():
-            start(i, t + 1, (slot + 1) % 2, False)
-
-        @pl.when(have_next_roi & safe_cross)
-        def _():
-            start(i + 1, 0, (slot + 1) % 2, False)
-
-        for small, win, th, tw in (
-            (True, win_s, TH_S, TW_S), (False, win_l, TH, TW)
-        ):
-            @pl.when(sm_i if small else ~sm_i)
-            def _(win=win, th=th, tw=tw):
-                ty, tx, y_orig, x_orig = tile_origin(i, t, th, tw)
-                w2t = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig,
-                                transpose=True, th=th, tw=tw)
-                upd = jax.lax.dot(
-                    w2t, g,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [th*tw, C]
-                new = win[slot] + upd.reshape(th, tw, -1)
-
-                @pl.when(slot == 0)
-                def _():
-                    win[0] = new
-
-                @pl.when(slot == 1)
-                def _():
-                    win[1] = new
-
-        start(i, t, slot, True)
-
-        @pl.when(have_next_tile & alias_intra)
-        def _():
-            wait(i, t, slot, True)
-            start(i, t + 1, (slot + 1) % 2, False)
-
-        @pl.when(have_next_roi & ~safe_cross)
-        def _():
-            wait(i, t, slot, True)
-            start(i + 1, 0, (slot + 1) % 2, False)
-
-        return 0
-
-    jax.lax.fori_loop(0, n_t, body, 0)
-
-    @pl.when(i + 1 >= nsteps)
-    def _():
-        wait(i, n_t - 1, (slot0 + n_t - 1) % 2, True)
-
-    gout[0] = jnp.zeros_like(gout[0])
-
-
 def _padded_size(h, w):
     # width padded to a multiple of 8 so every window origin/clamp along W
     # stays 8-aligned (Mosaic sublane tiling); both dims at least one tile
@@ -747,15 +481,15 @@ def _pad_levels(feats, sizes):
     return padded, shapes
 
 
-# scalar-prefetch metadata lives in SMEM (~1 MB): mi [14,R] i32 + mf [4,R]
-# f32 is 72 B/RoI, so cap the per-call RoI count and chunk above it
+# scalar-prefetch metadata lives in SMEM (~1 MB): mi [13,R] i32 + mf [4,R]
+# f32 is 68 B/RoI, so cap the per-call RoI count and chunk above it
 # (train path: 8x512 = 4096; eval: 8x1000 = 8000 — both single-chunk)
 MAX_ROIS_PER_CALL = 8192
 
 
 @functools.partial(
-    jax.jit, static_argnames=("strides", "interpret", "split"))
-def _roi_align_fwd(feats, rois, strides, interpret=False, split=False):
+    jax.jit, static_argnames=("strides", "interpret"))
+def _roi_align_fwd(feats, rois, strides, interpret=False):
     """feats: tuple of [B,H,W,C] (finest first); rois [B,N,4] ->
     pooled [B,N,7,7,C] f32."""
     n_levels = len(feats)
@@ -763,8 +497,7 @@ def _roi_align_fwd(feats, rois, strides, interpret=False, split=False):
     if B * N > MAX_ROIS_PER_CALL:
         nc = max(1, MAX_ROIS_PER_CALL // B)
         parts = [
-            _roi_align_fwd(
-                feats, rois[:, s : s + nc], strides, interpret, split)
+            _roi_align_fwd(feats, rois[:, s : s + nc], strides, interpret)
             for s in range(0, N, nc)
         ]
         return jnp.concatenate(parts, axis=1)
@@ -773,12 +506,10 @@ def _roi_align_fwd(feats, rois, strides, interpret=False, split=False):
     fpad, psizes = _pad_levels(feats, sizes)
 
     flat = rois.reshape(B * N, 4)
-    mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels, split=split)
+    mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels)
 
-    scratch = [pltpu.VMEM((2, TH, TW, C), feats[0].dtype)]
-    if split:
-        scratch.append(pltpu.VMEM((2, TH_S, TW_S, C), feats[0].dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch = [pltpu.VMEM((2, TH, TW, C), feats[0].dtype),
+               pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B * N,),
@@ -789,8 +520,7 @@ def _roi_align_fwd(feats, rois, strides, interpret=False, split=False):
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel_split if split else _fwd_kernel, n_levels, N),
+        functools.partial(_fwd_kernel, n_levels, N),
         out_shape=jax.ShapeDtypeStruct((B * N, 56, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -802,8 +532,8 @@ def _roi_align_fwd(feats, rois, strides, interpret=False, split=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("strides", "interpret", "split"))
-def _roi_align_bwd(feats, rois, g, strides, interpret=False, split=False):
+    jax.jit, static_argnames=("strides", "interpret"))
+def _roi_align_bwd(feats, rois, g, strides, interpret=False):
     """g [B,N,7,7,C] f32 -> per-level grads matching feats shapes/dtypes."""
     n_levels = len(feats)
     B, N = rois.shape[:2]
@@ -813,7 +543,7 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False, split=False):
         for s in range(0, N, nc):
             part = _roi_align_bwd(
                 feats, rois[:, s : s + nc], g[:, s : s + nc], strides,
-                interpret, split,
+                interpret,
             )
             total = part if total is None else tuple(
                 a + b for a, b in zip(total, part)
@@ -832,8 +562,7 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False, split=False):
     perm = (jj % B) * N + (jj // B)
     flat = rois.reshape(B * N, 4)[perm]
     b_idx = (jj % B).astype(jnp.int32)
-    mi, mf = _level_meta(
-        flat, strides, sizes, psizes, n_levels, b_idx, split=split)
+    mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels, b_idx)
 
     gflat = g.reshape(B * N, P * P, C).astype(jnp.float32)[perm]
     gflat = jnp.pad(gflat, ((0, 0), (0, 56 - P * P), (0, 0)))
@@ -857,19 +586,14 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False, split=False):
                 (1, 8, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
             )
         ],
-        scratch_shapes=(
-            [pltpu.VMEM((2, TH, TW, C), jnp.float32)]
-            + ([pltpu.VMEM((2, TH_S, TW_S, C), jnp.float32)] if split
-               else [])
-            + [
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ]
-        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH, TW, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     outs = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel_split if split else _bwd_kernel, n_levels, N),
+        functools.partial(_bwd_kernel, n_levels, N),
         out_shape=[
             jax.ShapeDtypeStruct((B, hp, wp, C), jnp.float32)
             for hp, wp in psizes
@@ -890,31 +614,24 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False, split=False):
     return tuple(out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def batched_roi_align_tpu(feats, rois, strides, interpret=False, split=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def batched_roi_align_tpu(feats, rois, strides, interpret=False):
     """Multi-scale RoIAlign, batched: feats tuple of [B,H,W,C] (finest
     first), rois [B,N,4] image-frame xyxy -> [B,N,7,7,C] f32.
 
     Exact torchvision MultiScaleRoIAlign semantics (aligned=False,
-    sampling_ratio 2; reference fasterrcnn.py:413-416). split=None reads
-    DGOD_ROI_SPLIT (dual window-class kernels, see _fwd_kernel_split)."""
-    if split is None:
-        split = _env_split()
-    return _roi_align_fwd(tuple(feats), rois, strides, interpret, split)
+    sampling_ratio 2; reference fasterrcnn.py:413-416)."""
+    return _roi_align_fwd(tuple(feats), rois, strides, interpret)
 
 
-def _vjp_fwd(feats, rois, strides, interpret, split):
-    if split is None:
-        split = _env_split()
-    out = _roi_align_fwd(tuple(feats), rois, strides, interpret, split)
+def _vjp_fwd(feats, rois, strides, interpret):
+    out = _roi_align_fwd(tuple(feats), rois, strides, interpret)
     return out, (tuple(feats), rois)
 
 
-def _vjp_bwd(strides, interpret, split, res, g):
-    if split is None:
-        split = _env_split()
+def _vjp_bwd(strides, interpret, res, g):
     feats, rois = res
-    df = _roi_align_bwd(feats, rois, g, strides, interpret, split)
+    df = _roi_align_bwd(feats, rois, g, strides, interpret)
     return df, jnp.zeros_like(rois)
 
 

@@ -21,16 +21,29 @@ import numpy as np
 _CLUSTER_ENV_VARS = (
     # explicit jax coordination env
     "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-    # auto-detected cluster environments (TPU pod / GKE / SLURM / OMPI)
+    # auto-detected cluster environments (TPU pod / GKE / OMPI)
     "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
-    "SLURM_JOB_NUM_NODES", "OMPI_MCA_orte_hnp_uri",
+    "OMPI_MCA_orte_hnp_uri",
 )
 
 
-def _in_cluster_env(coordinator_address) -> bool:
-    return bool(coordinator_address) or any(
-        os.environ.get(v) for v in _CLUSTER_ENV_VARS
-    )
+def _in_cluster_env(coordinator_address, num_processes) -> bool:
+    # explicit args count as a cluster signal (callers passing
+    # num_processes/process_id without an address rely on env discovery
+    # for the coordinator but still mean "multi-process")
+    if coordinator_address or num_processes:
+        return True
+    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
+        return True
+    # SLURM sets SLURM_JOB_NUM_NODES=1 on every job incl. single-node
+    # interactive shells — only a multi-node value signals a cluster
+    # (auto-init on a 1-node salloc would raise in jax's SlurmCluster)
+    try:
+        if int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    return False
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
@@ -45,7 +58,7 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """
     if jax.distributed.is_initialized():
         return  # already initialised (idempotent re-entry)
-    if not _in_cluster_env(coordinator_address):
+    if not _in_cluster_env(coordinator_address, num_processes):
         return  # single-host run: nothing to wire
     if coordinator_address or num_processes:
         jax.distributed.initialize(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from contextlib import contextmanager
 from typing import Any, Dict, Optional
@@ -36,7 +37,14 @@ class MetricsLogger:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self._tb = SummaryWriter(tb_dir)
-            except Exception:  # tensorboard genuinely optional
+            except Exception as e:
+                # tensorboard is optional, but the mirror was explicitly
+                # requested — say why it will be missing instead of
+                # leaving an empty directory to be discovered hours later
+                print(f"WARNING: --tb_dir/DGOD_TB_DIR={tb_dir!r} requested "
+                      f"but the TensorBoard mirror is disabled "
+                      f"({type(e).__name__}: {e}); JSONL logging continues",
+                      file=sys.stderr)
                 self._tb = None
         self.t0 = time.time()
 

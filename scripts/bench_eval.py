@@ -62,27 +62,19 @@ def bench_family(family):
     model = Model(num_classes=9, num_domains=3, canvas=CANVAS)
     params = model.init(jax.random.PRNGKey(0))
     eval_step = jax.jit(model.predict)
-    # tunnel-safe sync (profile_frcnn.py:4-9): a scalar reduced inside jit
-    # and fetched per call is the only reliable completion signal; the
+    # tunnel-safe sync (dgod_tpu/utils/timing.py): a scalar reduced inside
+    # jit and fetched per call is the only reliable completion signal; the
     # fixed per-call round-trip is calibrated and subtracted
+    from dgod_tpu.utils.timing import calibrate_roundtrip, time_scalar_fn
+
     scored = jax.jit(lambda p, bt: model.predict(p, bt)["scores"].sum())
-    triv = jax.jit(lambda x: (x * 2).sum())
-    xs = jax.numpy.ones((8,))
-    float(triv(xs))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        float(triv(xs))
-    rt = (time.perf_counter() - t0) / 20 * 1e3
+    rt = calibrate_roundtrip()
 
     out = {}
     for b in (1, 8):
         batch = jax.device_put(make_batch(b))
-        float(scored(params, batch))  # compile + warm
-        n = N_TIMED
-        t0 = time.perf_counter()
-        for _ in range(n):
-            float(scored(params, batch))
-        ms = (time.perf_counter() - t0) / n * 1e3 - rt
+        ms = time_scalar_fn(scored, params, batch, n=N_TIMED,
+                            roundtrip_ms=rt)
         out[f"batch{b}_ms_per_img"] = ms / b
         print(f"{family} eval batch {b}: {ms:.2f} ms/batch = "
               f"{ms / b:.2f} ms/img ({b * 1e3 / ms:.1f} img/s)")
@@ -114,6 +106,19 @@ def bench_family(family):
 
 def main():
     import jax
+
+    # same backend gate as bench.py: these numbers land in BASELINE.md, so
+    # a shell without the TPU backend must not silently record CPU timings.
+    # Smoke mode is explicitly a CPU dry pass and implies the opt-in.
+    backend = jax.default_backend()
+    if backend != "tpu" and not (
+        os.environ.get("DGOD_BENCH_ALLOW_CPU") == "1"
+        or os.environ.get("DGOD_BENCH_EVAL_SMOKE")
+    ):
+        print(f"bench_eval: backend is '{backend}', not TPU — refusing to "
+              "record non-TPU eval numbers (set DGOD_BENCH_ALLOW_CPU=1 or "
+              "DGOD_BENCH_EVAL_SMOKE=1 to override)", file=sys.stderr)
+        sys.exit(1)
 
     try:
         jax.config.update(

@@ -15,7 +15,6 @@ points (P3-P7).
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -27,6 +26,8 @@ import numpy as np  # noqa: E402
 from dgod_tpu.ops import boxes as box_ops  # noqa: E402
 from dgod_tpu.ops import matchers as M  # noqa: E402
 from dgod_tpu.ops import pallas_matchers as PM  # noqa: E402
+from dgod_tpu.utils.timing import (  # noqa: E402
+    calibrate_roundtrip, time_scalar_fn)
 
 B, G = 8, 128
 CANVAS = (608, 1216)
@@ -49,35 +50,19 @@ def make_gt(rng, span=(1100, 500)):
 _RT = None  # calibrated per-call tunnel round-trip (ms)
 
 
-def _calibrate():
-    global _RT
-    triv = jax.jit(lambda x: (x * 2).sum())
-    x = jnp.ones((8,))
-    float(triv(x))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        float(triv(x))
-    _RT = (time.perf_counter() - t0) / 20 * 1e3
-
-
 def timeit(fn, *args, n=20):
-    # tunnel-safe sync: block_until_ready returns before remote execution
-    # completes on the axon backend (profile_frcnn.py:4-9); reduce to a
-    # scalar inside jit and fetch it, subtracting the calibrated per-call
-    # round-trip
+    # tunnel-safe sync per dgod_tpu/utils/timing.py: reduce to a scalar
+    # inside jit, fetch it per call, subtract the calibrated round-trip
+    global _RT
     if _RT is None:
-        _calibrate()
+        _RT = calibrate_roundtrip()
     wrapped = jax.jit(
         lambda *a: sum(
             v.astype(jnp.float32).sum()
             for v in jax.tree_util.tree_leaves(fn(*a))
         )
     )
-    float(wrapped(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        float(wrapped(*args))
-    return (time.perf_counter() - t0) / n * 1e3 - _RT  # ms
+    return time_scalar_fn(wrapped, *args, n=n, roundtrip_ms=_RT)
 
 
 def xla_iou_match(gt_b, gt_v, anchors, hi, lo, allow):

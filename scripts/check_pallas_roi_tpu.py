@@ -90,27 +90,9 @@ def main():
         print(f"f32 bwd lvl{lvl} rel err: {e:.2e}  (scale {s:.2f})")
         assert e < 1e-5, f"bwd mismatch lvl{lvl}"
 
-    # dual window-class kernels (DGOD_ROI_SPLIT=1): parity vs the same XLA
-    # reference, then an fwd+bwd A/B against the single-class kernels at
-    # the production train shape — the recorded evidence that gates any
-    # dispatch-default change
-    got_s, vjp_got_s = jax.vjp(
-        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, False, True),
-        feats,
-    )
-    err = np.abs(ref - np.asarray(got_s)).max() / scale
-    print(f"split fwd rel err: {err:.2e}")
-    assert err < 1e-5, "split fwd mismatch"
-    (dgot_s,) = vjp_got_s(g)
-    for lvl, (a, b) in enumerate(zip(dref, dgot_s)):
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        s = np.abs(a).max() + 1e-9
-        e = np.abs(a - b).max() / s
-        print(f"split bwd lvl{lvl} rel err: {e:.2e}")
-        assert e < 1e-5, f"split bwd mismatch lvl{lvl}"
+    # timing at the production train shape — the recorded evidence that
+    # gates any window-shape default change (sweep via DGOD_ROI_TILE)
 
-    import time
 
     Bp, Np = 8, 512  # RoI-head train shape (8 imgs x 512 sampled proposals)
     featsp = tuple(
@@ -130,24 +112,18 @@ def main():
     roisp = jnp.asarray(roisp)
     gp = jnp.asarray(rng.randn(Bp, Np, 7, 7, C) * 0.1, jnp.bfloat16)
 
-    # tunnel-safe timing: block_until_ready returns before remote execution
-    # completes on the axon backend (profile_frcnn.py:4-9), so reduce to a
-    # scalar INSIDE jit and fetch it per call; the fixed per-call
-    # round-trip is calibrated and subtracted
-    triv = jax.jit(lambda x: (x * 2).sum())
-    xs = jnp.ones((8,))
-    float(triv(xs))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        float(triv(xs))
-    rt = (time.perf_counter() - t0) / 20 * 1e3
+    # tunnel-safe timing (dgod_tpu/utils/timing.py): reduce to a scalar
+    # INSIDE jit and fetch it per call; the fixed per-call round-trip is
+    # calibrated and subtracted
+    from dgod_tpu.utils.timing import calibrate_roundtrip, time_scalar_fn
 
-    def timed(split):
+    rt = calibrate_roundtrip()
+
+    def timed():
         @jax.jit
         def step(fs, r, gg):
             out, vjp = jax.vjp(
-                lambda fs2: batched_roi_align_tpu(
-                    fs2, r, STRIDES, False, split),
+                lambda fs2: batched_roi_align_tpu(fs2, r, STRIDES),
                 fs,
             )
             (grads,) = vjp(gg.astype(jnp.float32))
@@ -155,21 +131,13 @@ def main():
                 g.astype(jnp.float32).sum() for g in grads
             )
 
-        float(step(featsp, roisp, gp))  # compile + warm
-        n = 10
-        t0 = time.perf_counter()
-        for _ in range(n):
-            float(step(featsp, roisp, gp))
-        return (time.perf_counter() - t0) / n * 1e3 - rt
+        return time_scalar_fn(step, featsp, roisp, gp, n=10,
+                              roundtrip_ms=rt)
 
-    from dgod_tpu.ops.pallas_roi_align import TH, TH_S, TW, TW_S
+    from dgod_tpu.ops.pallas_roi_align import TH, TW
 
-    t_base = timed(False)
-    t_split = timed(True)
-    print(f"A/B fwd+bwd at B={Bp} N={Np} "
-          f"[tile {TH}x{TW}, small {TH_S}x{TW_S}]: "
-          f"single-class {t_base:.2f} ms, "
-          f"split {t_split:.2f} ms ({t_base / t_split:.2f}x)")
+    t_base = timed()
+    print(f"fwd+bwd at B={Bp} N={Np} [tile {TH}x{TW}]: {t_base:.2f} ms")
     print("PASS")
 
 

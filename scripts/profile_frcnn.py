@@ -24,6 +24,8 @@ import numpy as np  # noqa: E402
 from dgod_tpu.models.dg_frcnn import DGFRCNNModel  # noqa: E402
 from dgod_tpu.train import steps as step_lib  # noqa: E402
 from dgod_tpu.train.optim import init_opt_state  # noqa: E402
+from dgod_tpu.utils.timing import (  # noqa: E402
+    calibrate_roundtrip, time_scalar_fn)
 
 _RT = None  # calibrated per-call round-trip (ms)
 
@@ -36,24 +38,14 @@ def _scalarize(x):
 
 def calibrate():
     global _RT
-    triv = jax.jit(lambda x: (x * 2).sum())
-    x = jnp.ones((8,))
-    float(triv(x))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        float(triv(x))
-    _RT = (time.perf_counter() - t0) / 20 * 1000
+    _RT = calibrate_roundtrip()
     print(f"{'tunnel round-trip (subtracted)':34s} {_RT:8.2f} ms", flush=True)
 
 
 def timeit(name, fn, *args, n=10):
     """fn must return something scalarizable; fetches to force sync."""
     wrapped = jax.jit(lambda *a: _scalarize(fn(*a)))
-    float(wrapped(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        float(wrapped(*args))
-    ms = (time.perf_counter() - t0) / n * 1000 - _RT
+    ms = time_scalar_fn(wrapped, *args, n=n, roundtrip_ms=_RT)
     print(f"{name:34s} {ms:8.2f} ms", flush=True)
 
 

@@ -16,7 +16,6 @@ Usage:  python scripts/tune_xla_options.py
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,6 +26,7 @@ import numpy as np  # noqa: E402
 from dgod_tpu.models.dg_frcnn import DGFRCNNModel  # noqa: E402
 from dgod_tpu.train import steps as step_lib  # noqa: E402
 from dgod_tpu.train.optim import init_opt_state  # noqa: E402
+from dgod_tpu.utils.timing import time_scalar_fn  # noqa: E402
 
 K = 4
 
@@ -90,12 +90,10 @@ def main():
             print(f"{name:34s} REJECTED: {type(e).__name__} {str(e)[:120]}",
                   flush=True)
             continue
-        float(compiled(params, opt_state, batch, key))  # warm
-        t0 = time.perf_counter()
-        n = 3
-        for _ in range(n):
-            float(compiled(params, opt_state, batch, key))
-        ms = (time.perf_counter() - t0) / n / K * 1000
+        # round-trip is NOT subtracted here (it is amortised over K chained
+        # steps and identical across configs, so the A/B is unaffected)
+        ms = time_scalar_fn(compiled, params, opt_state, batch, key,
+                            n=3, roundtrip_ms=0.0) / K
         print(f"{name:34s} {ms:8.2f} ms/step", flush=True)
 
 

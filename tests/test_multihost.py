@@ -46,7 +46,7 @@ def recorder(monkeypatch):
     monkeypatch.setattr(jax.distributed, "is_initialized", rec.is_initialized)
     monkeypatch.setattr(jax.distributed, "initialize", rec.initialize)
     monkeypatch.setattr(jax, "process_count", rec.process_count)
-    for v in multihost._CLUSTER_ENV_VARS:
+    for v in multihost._CLUSTER_ENV_VARS + ("SLURM_JOB_NUM_NODES",):
         monkeypatch.delenv(v, raising=False)
     return rec
 
@@ -84,3 +84,27 @@ def test_failures_propagate(recorder):
     recorder.fail = True
     with pytest.raises(RuntimeError, match="coordinator unreachable"):
         multihost.initialize(coordinator_address="10.0.0.1:8476")
+
+
+def test_num_processes_without_address_still_initializes(recorder):
+    """Explicit num_processes/process_id (coordinator via env discovery)
+    must not silently no-op on the single-host gate."""
+    multihost.initialize(num_processes=4, process_id=2)
+    assert ("initialize", dict(coordinator_address=None,
+                               num_processes=4, process_id=2)) \
+        in recorder.calls
+
+
+def test_single_node_slurm_does_not_auto_init(recorder, monkeypatch):
+    """SLURM sets SLURM_JOB_NUM_NODES=1 on every job incl. interactive
+    single-node shells; auto-init there would raise in jax's SlurmCluster
+    discovery and crash otherwise-working single-host training."""
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    multihost.initialize()
+    assert recorder.calls == ["is_initialized"]
+
+
+def test_multi_node_slurm_auto_inits(recorder, monkeypatch):
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    multihost.initialize()
+    assert ("initialize", {}) in recorder.calls

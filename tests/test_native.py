@@ -67,6 +67,21 @@ def test_prepare_image_flip(lib, impl, monkeypatch):
     assert (out[:, 5:] == 255).all()
 
 
+@pytest.mark.parametrize("impl", ["native", "cv2"])
+def test_prepare_image_flip_strided_canvas(lib, impl, monkeypatch):
+    """flip must land even when the resize region is a row-strided canvas
+    VIEW (rw < cw) — the case where cv2 may reallocate instead of writing
+    dst in place, silently dropping the flip (boxes are mirrored
+    unconditionally upstream, so a dropped pixel flip corrupts GT)."""
+    monkeypatch.setenv("DGOD_IMAGE_PREP", impl)
+    src = np.zeros((10, 10, 3), np.uint8)
+    src[:, :5] = 255  # left half white
+    out = N.prepare_image(src, (16, 32), (10, 10), flip=True)
+    assert out[:10, :5].sum() == 0          # flipped: left now black
+    assert (out[:10, 5:10] == 255).all()    # right now white
+    assert out[10:].sum() == 0 and out[:, 10:].sum() == 0  # pad untouched
+
+
 def test_prepare_image_numpy_last_resort(monkeypatch):
     """The pure-numpy path (no lib, no cv2) must stay within 2 LSB of cv2."""
     import cv2

@@ -141,62 +141,3 @@ def test_grad_flows_only_to_touched_cells():
     ys, xs = nz[:, 0], nz[:, 1]
     assert ys.min() >= 9 and ys.max() <= 21  # 40/4 .. 80/4 (+1 halo)
     assert xs.min() >= 9 and xs.max() <= 21
-
-
-# ---- dual window-class (split) kernels — DGOD_ROI_SPLIT path ----------
-
-def _small_class_mask(rois_flat, feats):
-    from dgod_tpu.ops import pallas_roi_align as pra
-
-    sizes = [(f.shape[1], f.shape[2]) for f in feats]
-    psizes = [pra._padded_size(h, w) for h, w in sizes]
-    mi, _ = pra._level_meta(
-        jnp.asarray(rois_flat), STRIDES, sizes, psizes, len(feats),
-        split=True)
-    return np.asarray(mi[13]).astype(bool)
-
-
-def test_split_population_is_mixed():
-    """The standard RoI mix must exercise BOTH window classes, or the
-    split tests prove nothing."""
-    rng = np.random.RandomState(5)
-    feats = _feats(rng, B=1, C=8)
-    rois = _rois(rng, B=1, N=24)
-    small = _small_class_mask(np.asarray(rois).reshape(-1, 4), feats)
-    assert small.any() and (~small).any(), small
-
-
-def test_split_forward_matches_xla_path():
-    rng = np.random.RandomState(6)
-    feats = _feats(rng, B=2, C=32)
-    rois = _rois(rng, B=2, N=24)
-    ref = _xla_ref(feats, rois)
-    got = batched_roi_align_tpu(feats, rois, STRIDES, True, True)
-    assert float(jnp.max(jnp.abs(ref - got))) < 1e-3
-
-
-def test_split_backward_matches_xla_vjp():
-    rng = np.random.RandomState(7)
-    feats = _feats(rng, B=2, C=32)
-    rois = _rois(rng, B=2, N=12)
-    g = jnp.asarray(rng.randn(2, 12, 7, 7, 32), jnp.float32)
-
-    _, vjp_ref = jax.vjp(lambda fs: _xla_ref(fs, rois), feats)
-    (dref,) = vjp_ref(g)
-    _, vjp_got = jax.vjp(
-        lambda fs: batched_roi_align_tpu(fs, rois, STRIDES, True, True),
-        feats,
-    )
-    (dgot,) = vjp_got(g)
-    for lvl, (a, b) in enumerate(zip(dref, dgot)):
-        scale = float(jnp.max(jnp.abs(a))) + 1e-9
-        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3, f"lvl{lvl}"
-
-
-def test_split_env_default(monkeypatch):
-    from dgod_tpu.ops import pallas_roi_align as pra
-
-    monkeypatch.delenv("DGOD_ROI_SPLIT", raising=False)
-    assert pra._env_split() is False  # hardware-gated: off until chip A/B
-    monkeypatch.setenv("DGOD_ROI_SPLIT", "1")
-    assert pra._env_split() is True
