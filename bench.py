@@ -188,6 +188,15 @@ def bench_family(family: str, batch) -> float:
     return n_cycles * len(CYCLE) * BATCH / dt
 
 
+def family_mfu(family: str, img_per_sec: float):
+    """Analytic-FLOP MFU of the measured cycle (utils/flops.py; peak =
+    v5e bf16 197 TFLOP/s — the denominator-free companion metric to the
+    estimated-A100 vs_baseline ratio)."""
+    from dgod_tpu.utils.flops import train_mfu
+
+    return train_mfu(family, CANVAS, BATCH, img_per_sec)
+
+
 def main():
     _wait_for_backend()
     import jax
@@ -205,6 +214,7 @@ def main():
     batch = make_batch()
     ips = {fam: bench_family(fam, batch) for fam in ("FRCNN", "FCOS")}
     headline = min(ips.values())
+    mfu = {fam: family_mfu(fam, ips[fam]) for fam in ips}
     print(json.dumps({
         "metric": "images/sec/chip (DG train 8-step mode cycle, min over FRCNN/FCOS)",
         "value": round(headline, 2),
@@ -212,6 +222,15 @@ def main():
         "vs_baseline": round(headline / (3 * REF_A100_IMG_PER_SEC), 3),
         "frcnn_img_per_sec": round(ips["FRCNN"], 2),
         "fcos_img_per_sec": round(ips["FCOS"], 2),
+        "frcnn_tflops_per_sec": round(mfu["FRCNN"]["model_tflops_per_sec"], 1),
+        "fcos_tflops_per_sec": round(mfu["FCOS"]["model_tflops_per_sec"], 1),
+        "frcnn_mfu": round(mfu["FRCNN"]["mfu"], 4),
+        "fcos_mfu": round(mfu["FCOS"]["mfu"], 4),
+        "mfu_note": (
+            "analytic conv/matmul FLOPs of the DG cycle (utils/flops.py, "
+            "jaxpr-cross-checked) over v5e bf16 peak "
+            f"{mfu['FCOS']['peak_tflops']:.0f} TFLOP/s"
+        ),
         "baseline_note": (
             "reference publishes no numbers; denominator is 3x an estimated "
             f"A100 reference throughput of {REF_A100_IMG_PER_SEC} img/s "

@@ -22,10 +22,12 @@ class FRCNNBackbone(nn.Module):
 
     out_channels: int = 256
     dtype: Any = jnp.float32
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, x) -> Tuple[List[jnp.ndarray], Dict[str, jnp.ndarray]]:
-        c = ResNet50(name="body", dtype=self.dtype)(x)
+        c = ResNet50(name="body", dtype=self.dtype,
+                     block_counts=self.block_counts)(x)
         ps = FPN(self.out_channels, name="fpn", dtype=self.dtype)(
             [c["c2"], c["c3"], c["c4"], c["c5"]])
         pool = LastLevelMaxPool(name="pool")(ps[-1])
@@ -42,10 +44,12 @@ class FCOSBackbone(nn.Module):
 
     out_channels: int = 256
     dtype: Any = jnp.float32
+    block_counts: Tuple[int, ...] = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, x) -> Tuple[List[jnp.ndarray], Dict[str, jnp.ndarray]]:
-        c = ResNet50(name="body", dtype=self.dtype)(x)
+        c = ResNet50(name="body", dtype=self.dtype,
+                     block_counts=self.block_counts)(x)
         ps = FPN(self.out_channels, name="fpn", dtype=self.dtype)(
             [c["c3"], c["c4"], c["c5"]])
         p6, p7 = LastLevelP6P7(self.out_channels, name="p6p7", dtype=self.dtype)(ps[-1])

@@ -51,13 +51,16 @@ class DGFCOSModel:
         canvas: Tuple[int, int] = (608, 1216),
         loss_config: FCOSLossConfig = FCOSLossConfig(),
         compute_dtype=jnp.bfloat16,
+        backbone_block_counts=(3, 4, 6, 3),
     ):
         self.num_classes = num_classes
         self.num_domains = num_domains
         self.canvas = canvas
         self.loss_config = loss_config
         self.compute_dtype = compute_dtype
-        self.detector = FCOS(num_classes, dtype=compute_dtype)
+        self.detector = FCOS(
+            num_classes, dtype=compute_dtype,
+            backbone_block_counts=tuple(backbone_block_counts))
         self.image_da = dg_heads.ImageDA(num_domains)
         self.ins_da = dg_heads.fcos_instance_da(num_domains)
         self.ins_cls = dg_heads.DomainBank(

@@ -40,13 +40,16 @@ class DGFRCNNModel:
         canvas: Tuple[int, int] = (608, 1216),
         config: FRCNNConfig = None,
         compute_dtype=jnp.bfloat16,
+        backbone_block_counts=(3, 4, 6, 3),
     ):
         self.num_classes = num_classes
         self.num_domains = num_domains
         self.canvas = canvas
         self.compute_dtype = compute_dtype
         cfg = config or FRCNNConfig(num_classes=num_classes)
-        self.detector = FRCNNDetector(cfg, canvas, dtype=compute_dtype)
+        self.detector = FRCNNDetector(
+            cfg, canvas, dtype=compute_dtype,
+            backbone_block_counts=tuple(backbone_block_counts))
         self.image_da = dg_heads.ImageDAFPN(num_domains)
         self.ins_da = dg_heads.frcnn_instance_da(num_domains)
         self.ins_cls = dg_heads.DomainBank(

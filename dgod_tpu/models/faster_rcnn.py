@@ -139,11 +139,12 @@ class FRCNNDetector:
     """Functional Faster R-CNN over a static canvas."""
 
     def __init__(self, config: FRCNNConfig = FRCNNConfig(), canvas=(608, 1216),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, backbone_block_counts=(3, 4, 6, 3)):
         self.config = config
         self.canvas = canvas
         self.dtype = dtype
-        self.backbone = FRCNNBackbone(dtype=dtype)
+        self.backbone = FRCNNBackbone(
+            dtype=dtype, block_counts=tuple(backbone_block_counts))
         self.rpn_head = RPNHeadModule(dtype=dtype)
         self.box_head = TwoMLPHead(dtype=dtype)
         self.predictor = BoxPredictor(config.num_classes + 1)

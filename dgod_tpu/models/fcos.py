@@ -116,10 +116,13 @@ class FCOS(nn.Module):
 
     num_classes: int = 9
     dtype: Any = jnp.float32
+    backbone_block_counts: Tuple[int, ...] = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
-        feats, c_feats = FCOSBackbone(name="backbone", dtype=self.dtype)(images)
+        feats, c_feats = FCOSBackbone(
+            name="backbone", dtype=self.dtype,
+            block_counts=self.backbone_block_counts)(images)
         cls_logits, bbox_regression, bbox_ctrness = FCOSHead(
             self.num_classes, name="head", dtype=self.dtype
         )(feats)

@@ -6,7 +6,7 @@ reference fcos.py:780 `resnet50(norm_layer=FrozenBatchNorm2d)`):
 - v1.5 bottlenecks (stride on the 3x3 conv),
 - FrozenBatchNorm: all BN statistics and affine params are constants during
   training (they live in the param tree but the optimizer masks them out —
-  see train/state.py), matching `trainable_backbone_layers=3` semantics where
+  see train/optim.py), matching `trainable_backbone_layers=3` semantics where
   conv1/layer1 are additionally frozen entirely.
 
 Layout is NHWC (TPU-native); the torchvision->JAX weight converter in
@@ -125,9 +125,17 @@ class _StemConv(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Returns {'c2','c3','c4','c5'} feature maps (strides 4/8/16/32)."""
+    """Returns {'c2','c3','c4','c5'} feature maps (strides 4/8/16/32).
+
+    `block_counts` defaults to the real ResNet-50 (3,4,6,3). Reduced counts
+    (e.g. (1,1,1,1)) keep every stage/stride/width — so all downstream
+    shapes, sharding rules and loss paths are unchanged — while cutting the
+    conv count ~4x; used by the multichip dryrun where XLA:CPU compile time
+    on a 1-core host is the budget (SPMD machinery is what it validates,
+    not conv depth)."""
 
     dtype: Any = jnp.float32
+    block_counts: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -138,7 +146,7 @@ class ResNet50(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         feats = {}
-        block_counts = (3, 4, 6, 3)
+        block_counts = tuple(self.block_counts)
         widths = (64, 128, 256, 512)
         for stage, (count, width) in enumerate(zip(block_counts, widths), start=1):
             for i in range(count):

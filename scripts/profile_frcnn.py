@@ -24,6 +24,7 @@ import numpy as np  # noqa: E402
 from dgod_tpu.models.dg_frcnn import DGFRCNNModel  # noqa: E402
 from dgod_tpu.train import steps as step_lib  # noqa: E402
 from dgod_tpu.train.optim import init_opt_state  # noqa: E402
+from dgod_tpu.utils import flops as flops_lib  # noqa: E402
 from dgod_tpu.utils.timing import (  # noqa: E402
     calibrate_roundtrip, time_scalar_fn)
 
@@ -42,11 +43,21 @@ def calibrate():
     print(f"{'tunnel round-trip (subtracted)':34s} {_RT:8.2f} ms", flush=True)
 
 
-def timeit(name, fn, *args, n=10):
+def _mfu_suffix(ms, gflops):
+    """Achieved TF/s + MFU column when the segment's analytic conv/matmul
+    FLOPs are known (utils/flops.py)."""
+    if not gflops:
+        return ""
+    tfs = gflops / ms  # GF / ms == TF/s
+    return (f"  {gflops:8.1f} GF  {tfs:6.1f} TF/s  "
+            f"mfu {tfs * 1e12 / flops_lib.V5E_BF16_PEAK_FLOPS:5.1%}")
+
+
+def timeit(name, fn, *args, n=10, gflops=None):
     """fn must return something scalarizable; fetches to force sync."""
     wrapped = jax.jit(lambda *a: _scalarize(fn(*a)))
     ms = time_scalar_fn(wrapped, *args, n=n, roundtrip_ms=_RT)
-    print(f"{name:34s} {ms:8.2f} ms", flush=True)
+    print(f"{name:34s} {ms:8.2f} ms{_mfu_suffix(ms, gflops)}", flush=True)
 
 
 def main():
@@ -85,7 +96,14 @@ def main():
 
     img = model.normalize(batch["image"])
 
-    timeit("backbone+fpn fwd", lambda p, x: det.features(p, x)[0], dp, img)
+    # analytic FLOPs for the MFU column (per batch, in GF)
+    fw = flops_lib.family_forward_flops("FRCNN", CANVAS)
+    trunk_gf = (fw["frozen"] + fw["trunk"]) * B / 1e9
+    cyc = flops_lib.cycle_flops("FRCNN", CANVAS, B)
+    mode0_gf = cyc["per_mode_per_image"][0] * B / 1e9
+
+    timeit("backbone+fpn fwd", lambda p, x: det.features(p, x)[0], dp, img,
+           gflops=trunk_gf)
 
     feats = jax.jit(lambda p, x: det.features(p, x)[0])(dp, img)
     timeit("rpn head fwd", lambda p, f: det.rpn_forward(p, f), dp, feats)
@@ -124,7 +142,9 @@ def main():
     pooled = jax.jit(lambda f, r: det.roi_align(f, r))(feats, rois512)
     timeit("box head fwd (512 rois, pooled)",
            lambda p, x: det.box_head.apply({"params": p["box_head"]}, x),
-           dp, pooled)
+           dp, pooled,
+           gflops=(flops_lib.dense_flops(512, 7 * 7 * 256, 1024)
+                   + flops_lib.dense_flops(512, 1024, 1024)) * B / 1e9)
     bf = jax.jit(
         lambda p, x: det.box_head.apply({"params": p["box_head"]}, x)
     )(dp, pooled)
@@ -144,10 +164,11 @@ def main():
     def loss_only(p, b, k):
         return model.loss_for_mode(p, b, k, 0, reg)[0]
 
-    timeit("mode0 loss fwd", loss_only, params, batch, key)
+    fwd_gf = (fw["frozen"] + fw["trunk"] + fw["head"]) * B / 1e9
+    timeit("mode0 loss fwd", loss_only, params, batch, key, gflops=fwd_gf)
     timeit("mode0 fwd+bwd",
            lambda p, b, k: jax.grad(loss_only)(p, b, k),
-           params, batch, key, n=5)
+           params, batch, key, n=5, gflops=mode0_gf)
 
     if os.environ.get("DGOD_PROFILE_SMOKE"):
         return  # stage smoke only; the chained-step loops are chip-sized
@@ -189,6 +210,8 @@ def main():
 
             name = f"fused pair (0+{mode_k}) (x{K} chained)"
 
+        pm = cyc["per_mode_per_image"]
+        gf = (pm[0] + (pm[mode_k] if mode_k else 0)) * B / 1e9
         wrapped = jax.jit(lambda p, o, b, k, loop=loop:
                           _scalarize(loop(p, o, b, k)))
         float(wrapped(params, opt_state, batch, key))
@@ -196,7 +219,7 @@ def main():
         for _ in range(3):
             float(wrapped(params, opt_state, batch, key))
         ms = ((time.perf_counter() - t0) / 3 * 1000 - _RT) / K
-        print(f"{name:34s} {ms:8.2f} ms", flush=True)
+        print(f"{name:34s} {ms:8.2f} ms{_mfu_suffix(ms, gf)}", flush=True)
 
 
 if __name__ == "__main__":
