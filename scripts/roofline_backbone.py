@@ -150,6 +150,29 @@ def main():
                        F.conv_flops(h4, w4, 3, 3, 256, 256),
                        conv_bytes(h4, w4, h4, w4, 3, 256, 256)))
 
+    K = int(os.environ.get("DGOD_ROOFLINE_K", "48"))
+    # chained iterations inside one jit: per-stage times are below
+    # the tunnel round-trip, so per-call RT subtraction is hopeless; the
+    # chain amortises it to noise. The input is perturbed through a value
+    # XLA cannot prove constant (acc * 1e-38; exactly 1.0 after bf16
+    # rounding) so the loop body can't be hoisted as loop-invariant.
+
+    def timed_loop(scalar_of_x, x0, n=5):
+        def looped(x):
+            def body(i, carry):
+                x, acc = carry
+                acc = acc + scalar_of_x(x)
+                x = (x.astype(jnp.float32) * (1.0 + acc * 1e-38)).astype(x.dtype)
+                return (x, acc)
+            _, acc = jax.lax.fori_loop(0, K, body, (x, jnp.float32(0)))
+            return acc
+        w = jax.jit(looped)
+        float(w(x0))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(n):
+            float(w(x0))
+        return ((time.perf_counter() - t0) / n * 1000 - rt) / K
+
     rng = jax.random.PRNGKey(0)
     for name, mod, shape, flops_img, bts in stages:
         x = jnp.asarray(
@@ -158,19 +181,19 @@ def main():
         params = mod.init(rng, x)["params"]
         flops = flops_img * B  # per-batch
 
-        def fwd(p, x):
-            return mod.apply({"params": p}, x).astype(jnp.float32).sum()
+        def fwd_scalar(x):
+            return mod.apply({"params": params}, x).astype(jnp.float32).sum()
 
-        wrapped = jax.jit(fwd)
-        ms = time_scalar_fn(wrapped, params, x, n=10, roundtrip_ms=rt)
+        ms = timed_loop(fwd_scalar, x)
 
-        def fb(p, x):
-            return jax.grad(lambda p: fwd(p, x))(p)
+        def fb_scalar(x):
+            g = jax.grad(
+                lambda p: mod.apply({"params": p}, x).astype(jnp.float32).sum()
+            )(params)
+            return sum(v.astype(jnp.float32).sum()
+                       for v in jax.tree_util.tree_leaves(g))
 
-        wrapped_fb = jax.jit(
-            lambda p, x: sum(v.astype(jnp.float32).sum()
-                             for v in jax.tree_util.tree_leaves(fb(p, x))))
-        ms_fb = time_scalar_fn(wrapped_fb, params, x, n=5, roundtrip_ms=rt)
+        ms_fb = timed_loop(fb_scalar, x, n=3)
 
         tfs = flops / ms / 1e9
         bound_s = max(flops / PEAK_FLOPS, bts / PEAK_BW)
@@ -178,7 +201,7 @@ def main():
         mfu_fb = 3 * flops / (ms_fb / 1e3) / PEAK_FLOPS
         print(f"{name:22s} {ms:8.2f} {flops/1e9:8.1f} {tfs:6.1f} "
               f"{bts/1e9:6.2f} {bound_tfs:6.1f} {tfs/bound_tfs:6.1%}   "
-              f"{ms_fb:8.2f} {mfu_fb:6.1%}")
+              f"{ms_fb:8.2f} {mfu_fb:6.1%}", flush=True)
 
 
 if __name__ == "__main__":
