@@ -18,7 +18,7 @@ import random
 import numpy as np
 
 from .data.dataset import ConcatDataset, DrivingDataset
-from .data.loader import EvalLoader, TrainLoader
+from .data.loader import EvalLoader, ProcessTrainLoader, TrainLoader
 from .train.harness import Trainer
 
 DOMAIN_SPECS = {
@@ -67,12 +67,24 @@ def parser_args(argv=None):
                         help="linear LR warmup; use ~500-1000 when training "
                              "from scratch (the reference warm-starts COCO "
                              "weights so its raw lr needs no warmup)")
+    parser.add_argument("--decode_cache_gb", type=float, default=0.0,
+                        help="per-train-domain decoded-image RAM cache "
+                             "budget (GiB); epochs >= 2 skip PNG decode — "
+                             "the dominant host cost on low-core hosts "
+                             "(scripts/bench_e2e.py numbers)")
+    parser.add_argument("--process_loader", action="store_true",
+                        help="run the train loader in a child process "
+                             "(shared-memory ring): required for full "
+                             "throughput when the device client is an "
+                             "in-process RPC proxy, whose socket threads "
+                             "otherwise GIL-convoy with loader threads "
+                             "(data/loader.py::ProcessTrainLoader)")
     return parser.parse_args(argv)
 
 
 def datasets_from_arguments(source_domains: str, target_domains: str,
-                            data_root: str = "."):
-    def build(letters: str, split: str):
+                            data_root: str = ".", decode_cache_gb: float = 0.0):
+    def build(letters: str, split: str, cache_gb: float = 0.0):
         out, domain_index = [], -1
         for letter in "abci":
             if letter not in letters:
@@ -81,10 +93,12 @@ def datasets_from_arguments(source_domains: str, target_domains: str,
             _, csv_tpl, root_tpl = DOMAIN_SPECS[letter]
             csv = os.path.join(data_root, csv_tpl.format(split=split))
             root = os.path.join(data_root, root_tpl.format(split=split))
-            out.append(DrivingDataset(csv, root, domain_index))
+            out.append(DrivingDataset(
+                csv, root, domain_index,
+                decode_cache_bytes=int(cache_gb * (1 << 30))))
         return out
 
-    tr_datasets = build(source_domains, "train")
+    tr_datasets = build(source_domains, "train", decode_cache_gb)
     vl_datasets = build(source_domains, "val")
     test_datasets = build(target_domains, "val")
     return (
@@ -102,7 +116,7 @@ def main(argv=None):
     source = args.source_domains.lower()
     target = args.target_domains.lower()
     tr_dataset, tr_datasets, vl_dataset, test_dataset = datasets_from_arguments(
-        source, target, args.data_root
+        source, target, args.data_root, args.decode_cache_gb
     )
     num_domains = len(tr_datasets)
 
@@ -127,7 +141,8 @@ def main(argv=None):
         raise ValueError(args.model)
 
     dg = args.exp == "dg"
-    train_loader = TrainLoader(tr_dataset, args.batch_size, dg, seed=SEED)
+    loader_cls = ProcessTrainLoader if args.process_loader else TrainLoader
+    train_loader = loader_cls(tr_dataset, args.batch_size, dg, seed=SEED)
     val_loader = EvalLoader(vl_dataset, args.eval_batch_size, val_resize)
     test_loader = EvalLoader(test_dataset, args.eval_batch_size, val_resize)
 

@@ -127,6 +127,201 @@ class TrainLoader:
                 buffered -= 1
 
 
+def _loader_proc_main(dataset, loader_kwargs, t_overrides, n_slots,
+                      full_q, free_q):
+    """Child-process body for ProcessTrainLoader.
+
+    Runs a plain TrainLoader (thread pool and all — there is no tunnel/RPC
+    client in this process, so its threads convoy with nothing) and writes
+    each fixed-shape batch into one of `n_slots` shared-memory slots.
+    Never imports jax.
+    """
+    from multiprocessing import shared_memory
+
+    from . import transforms as T
+
+    for k, v in t_overrides.items():
+        setattr(T, k, v)
+
+    loader = TrainLoader(dataset, **loader_kwargs)
+    spec = None
+    shms = []
+    views = []  # views[slot][key] -> np.ndarray into that slot's shm
+    try:
+        while True:
+            for batch in loader.epoch():
+                if spec is None:
+                    spec = [(k, v.shape, str(v.dtype))
+                            for k, v in batch.items()]
+                    nbytes = sum(
+                        int(np.prod(s)) * np.dtype(d).itemsize
+                        for _, s, d in spec
+                    )
+                    for _ in range(n_slots):
+                        shm = shared_memory.SharedMemory(
+                            create=True, size=max(nbytes, 1))
+                        off, vs = 0, {}
+                        for k, s, d in spec:
+                            n = int(np.prod(s)) * np.dtype(d).itemsize
+                            vs[k] = np.ndarray(
+                                s, d, buffer=shm.buf[off:off + n])
+                            off += n
+                        shms.append(shm)
+                        views.append(vs)
+                    full_q.put(("spec", spec, [m.name for m in shms]))
+                slot = free_q.get()
+                if slot is None:
+                    return
+                for k, v in batch.items():
+                    views[slot][k][...] = v
+                full_q.put(("batch", slot))
+    except (KeyboardInterrupt, BrokenPipeError, EOFError):
+        pass
+    finally:
+        for shm in shms:
+            try:
+                shm.close()
+                shm.unlink()
+            except Exception:
+                pass
+
+
+class ProcessTrainLoader:
+    """TrainLoader running in a child process, batches via shared memory.
+
+    Same iteration contract as TrainLoader (epoch() / steps_per_epoch(),
+    per-epoch reshuffle, dg duplicate batches) — the reference gets this
+    isolation from its multiprocess DataLoader workers (DGcommon.py:151).
+
+    Why a process and not threads: when the training process hosts an RPC
+    device client (the axon TPU tunnel here; any proxied PJRT backend in
+    general), CPython's GIL convoys the client's many small socket
+    completions against the loader threads' numpy work — measured on this
+    host, jax.device_put of a 17.8 MB batch degrades from 11 ms solo to
+    200-400 ms with 8 loader threads running. A child process gives the
+    device client an uncontended GIL; the parent's per-batch work is one
+    shm -> numpy copy. The child is spawned with PALLAS_AXON_POOL_IPS
+    scrubbed so it never dials the (single-slot) TPU relay.
+    """
+
+    _T_OVERRIDE_KEYS = ("CANVAS", "TRAIN_SIZE", "MIN_SIZE", "MAX_SIZE",
+                        "MIN_AREA", "MAX_GT")
+
+    def __init__(self, dataset, batch_size: int, dg: bool, seed: int = 42,
+                 num_workers: int = 8, max_gt: Optional[int] = None,
+                 n_slots: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self._kwargs = dict(
+            batch_size=batch_size, dg=dg, seed=seed,
+            num_workers=num_workers,
+            max_gt=T.MAX_GT if max_gt is None else max_gt,
+        )
+        self.n_slots = n_slots
+        self._proc = None
+        self._spec = None
+        self._shms: list = []
+        self._views: list = []
+
+    @property
+    def dg(self) -> bool:
+        return self._kwargs["dg"]
+
+    @dg.setter
+    def dg(self, value: bool):
+        # the harness flips dg off when fusing pair steps (harness.py);
+        # that must happen before the child process starts
+        assert self._proc is None, "cannot change dg after the loader started"
+        self._kwargs["dg"] = value
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        return n * 2 if self.dg else n
+
+    def _start(self):
+        import multiprocessing as mp
+        import os
+        from multiprocessing import shared_memory
+
+        ctx = mp.get_context("spawn")
+        self._full_q = ctx.Queue()
+        self._free_q = ctx.Queue()
+        overrides = {k: getattr(T, k) for k in self._T_OVERRIDE_KEYS}
+        self._proc = ctx.Process(
+            target=_loader_proc_main,
+            args=(self.dataset, self._kwargs, overrides, self.n_slots,
+                  self._full_q, self._free_q),
+            daemon=True,
+        )
+        # the child must NOT dial the TPU relay (sitecustomize register()
+        # is gated on PALLAS_AXON_POOL_IPS) nor default to a device backend
+        scrub = {"PALLAS_AXON_POOL_IPS": None, "JAX_PLATFORMS": "cpu"}
+        saved = {k: os.environ.get(k) for k in scrub}
+        try:
+            for k, v in scrub.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            self._proc.start()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        kind, spec, names = self._full_q.get()
+        assert kind == "spec"
+        self._spec = spec
+        for name in names:
+            shm = shared_memory.SharedMemory(name=name)
+            off, vs = 0, {}
+            for k, s, d in spec:
+                n = int(np.prod(s)) * np.dtype(d).itemsize
+                vs[k] = np.ndarray(s, d, buffer=shm.buf[off:off + n])
+                off += n
+            self._shms.append(shm)
+            self._views.append(vs)
+        for slot in range(self.n_slots):
+            self._free_q.put(slot)
+
+    def epoch(self) -> Iterator[dict]:
+        if self._proc is None:
+            self._start()
+        for _ in range(self.steps_per_epoch()):
+            kind, slot = self._full_q.get()
+            assert kind == "batch"
+            # copy out so the slot can be released before the (async)
+            # device transfer of the yielded batch completes
+            out = {k: v.copy() for k, v in self._views[slot].items()}
+            self._free_q.put(slot)
+            yield out
+
+    def close(self):
+        if self._proc is not None:
+            try:
+                self._free_q.put(None)
+                self._proc.join(timeout=2)
+            except Exception:
+                pass
+            if self._proc.is_alive():
+                self._proc.terminate()
+                self._proc.join(timeout=5)
+            self._proc = None
+        for shm in self._shms:
+            try:
+                shm.close()
+            except Exception:
+                pass
+        self._shms, self._views = [], []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 class EvalLoader:
     """Sequential fixed-shape eval batches (reference uses batch_size=1,
     train_driving_dg.py:146-147)."""

@@ -242,6 +242,8 @@ class Trainer:
                 print(f"early stopping at epoch {epoch}")
                 break
         self.store.wait()
+        if hasattr(self.train_loader, "close"):
+            self.train_loader.close()  # stop a ProcessTrainLoader child
         return self.best_val
 
     def test(self, test_loader) -> Dict[str, Any]:

@@ -99,6 +99,13 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--data_dir", default="/tmp/dgod_e2e_data")
+    ap.add_argument("--decode_cache_gb", type=float, default=0.0,
+                    help="per-domain decoded-image RAM cache (GiB); models "
+                         "steady-state epochs >= 2 where decode is cached")
+    ap.add_argument("--process_loader", action="store_true",
+                    help="run the loader in a child process (shared-memory "
+                         "ring) so its threads cannot GIL-convoy the "
+                         "in-process device client")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes on CPU (CI/dev hosts)")
     args = ap.parse_args()
@@ -117,7 +124,8 @@ def main():
 
     from dgod_tpu.data import transforms as T
     from dgod_tpu.data.dataset import ConcatDataset, DrivingDataset
-    from dgod_tpu.data.loader import TrainLoader, device_prefetch
+    from dgod_tpu.data.loader import (ProcessTrainLoader, TrainLoader,
+                                      device_prefetch)
     from dgod_tpu.train import steps as step_lib
     from dgod_tpu.train.optim import init_opt_state
 
@@ -140,9 +148,18 @@ def main():
     # three source domains sharing the same files (decode cost identical;
     # the reference trains on a ConcatDataset of per-domain CSVs,
     # train_driving_dg.py:54-107)
+    # DrivingDataset concatenates root+name verbatim (reference
+    # DrivingDataset.py behaviour), so root needs its trailing separator
+    root = args.data_dir.rstrip("/") + "/"
+    cache_bytes = int(args.decode_cache_gb * (1 << 30))
     ds = ConcatDataset([
-        DrivingDataset(csv_path, args.data_dir, domain=d) for d in range(3)
+        DrivingDataset(csv_path, root, domain=d, decode_cache_bytes=cache_bytes)
+        for d in range(3)
     ])
+    if cache_bytes:
+        # pre-fill so the timed run models a steady-state (epoch >= 2) epoch
+        for i in range(len(ds)):
+            ds[i]
 
     model = build_model(args.family, canvas)
     params = model.init(jax.random.PRNGKey(0))
@@ -156,12 +173,20 @@ def main():
     }
     key = jax.random.PRNGKey(1)
 
+    # dg=False: the fused pair replays the batch in-program
+    # (harness.fit switches the duplicate emission off the same way)
+    loader_cls = ProcessTrainLoader if args.process_loader else TrainLoader
+    loader = loader_cls(ds, args.batch, dg=False,
+                        num_workers=args.workers, max_gt=T.MAX_GT)
+    if args.process_loader and cache_bytes:
+        # the child process owns its own decode cache (the parent pre-fill
+        # does not pickle across); drain one epoch so the timed run models
+        # steady state there too
+        for _ in loader.epoch():
+            pass
+
     def batches(n_pairs):
         """Endless epochs through the real loader, n_pairs batches total."""
-        # dg=False: the fused pair replays the batch in-program
-        # (harness.fit switches the duplicate emission off the same way)
-        loader = TrainLoader(ds, args.batch, dg=False,
-                             num_workers=args.workers, max_gt=T.MAX_GT)
         got = 0
         while got < n_pairs:
             for b in device_prefetch(loader.epoch()):
@@ -205,13 +230,13 @@ def main():
     dev_ips = n * 2 * args.batch / dt_dev
 
     # --- host-only loader rate -------------------------------------------
-    loader = TrainLoader(ds, args.batch, dg=False,
-                         num_workers=args.workers, max_gt=T.MAX_GT)
     t0 = time.perf_counter()
     n_img = 0
     for b in loader.epoch():
         n_img += b["image"].shape[0]
     host_ips = n_img / (time.perf_counter() - t0)
+    if hasattr(loader, "close"):
+        loader.close()
 
     print(json.dumps({
         "family": args.family,
@@ -223,6 +248,8 @@ def main():
         "batch": args.batch,
         "workers": args.workers,
         "unique_images": args.images,
+        "decode_cache_gb": args.decode_cache_gb,
+        "process_loader": bool(args.process_loader),
         "note": (
             "e2e = PNG decode -> TrainLoader -> device_prefetch -> fused "
             "pair steps; img/s counts optimizer-step images (pair = 2 "

@@ -130,3 +130,70 @@ def test_eval_loader_bounded_inflight():
             f"calls {ds.calls} consumed {consumed}"
         )
     assert consumed == 64 and ds.calls == 64
+
+
+def test_driving_dataset_decode_cache(tmp_path):
+    """Decode cache: identical pixels, budget cap, no re-decode on hits."""
+    import cv2
+
+    from dgod_tpu.data.dataset import DrivingDataset
+
+    imgs = []
+    for i in range(3):
+        img = np.full((16, 24, 3), 10 * (i + 1), np.uint8)
+        img[2:6, 4:12] = 200  # structure so BGR<->RGB mistakes would show
+        img[:, :, 0] = i
+        cv2.imwrite(str(tmp_path / f"im{i}.png"), img)
+        imgs.append(img)
+    with open(tmp_path / "ann.csv", "w") as f:
+        f.write("image_name,BoxesString,LabelsString\n")
+        for i in range(3):
+            f.write(f"im{i}.png,1 1 10 10,1\n")
+
+    per_img = 16 * 24 * 3
+    ds = DrivingDataset(str(tmp_path / "ann.csv"), str(tmp_path) + "/",
+                        domain=0, decode_cache_bytes=2 * per_img)
+    first = [ds[i][0].copy() for i in range(3)]
+    # budget admits exactly two images; the third stays uncached
+    assert len(ds._cache) == 2 and ds._cache_used == 2 * per_img
+    second = [ds[i][0] for i in range(3)]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    # cached arrays are served as shared read-only views
+    assert not second[0].flags.writeable
+    # uncached path still decodes fresh writable arrays
+    assert second[2].flags.writeable
+    # cache disabled by default
+    ds2 = DrivingDataset(str(tmp_path / "ann.csv"), str(tmp_path) + "/", domain=0)
+    ds2[0]
+    assert not ds2._cache
+
+
+def test_process_train_loader_matches_thread_loader():
+    """ProcessTrainLoader: same contract as TrainLoader — fixed shapes,
+    dg duplicate batches identical, full epochs, clean shutdown."""
+    from dgod_tpu.data.loader import ProcessTrainLoader
+
+    ds = SyntheticDataset(12, domain=0, image_hw=(32, 64))
+    loader = ProcessTrainLoader(ds, batch_size=2, dg=True, seed=7,
+                                num_workers=2, max_gt=8, n_slots=2)
+    try:
+        assert loader.steps_per_epoch() == 12
+        batches = list(loader.epoch())
+        assert len(batches) == 12
+        for b in batches:
+            assert b["image"].shape == (2, T.CANVAS[0], T.CANVAS[1], 3)
+            assert b["boxes"].shape == (2, 8, 4)
+        # dg mode: consecutive batches are identical replays
+        for i in range(0, 12, 2):
+            np.testing.assert_array_equal(batches[i]["image"],
+                                          batches[i + 1]["image"])
+            np.testing.assert_array_equal(batches[i]["boxes"],
+                                          batches[i + 1]["boxes"])
+        # batches are copies, not live views into the shm ring
+        first = batches[0]["image"].copy()
+        list(loader.epoch())
+        np.testing.assert_array_equal(batches[0]["image"], first)
+    finally:
+        loader.close()
+    assert loader._proc is None
