@@ -154,6 +154,39 @@ def test_fit_dg_fused_pairs(tmp_path, patched_canvas):
     assert trainer.global_step == 8
 
 
+def test_fit_dg_process_loader(tmp_path, patched_canvas):
+    """Same DG fused-pair fit through ProcessTrainLoader (--process_loader):
+    the harness must flip dg off BEFORE the child process starts (the
+    setter asserts this), the child must inherit the monkeypatched tiny
+    canvas via the transform overrides, and fit() must close the child."""
+    from dgod_tpu.data.loader import ProcessTrainLoader
+
+    train_ds = ConcatDataset([
+        SyntheticDataset(8, domain=0, image_hw=(120, 240)),
+        SyntheticDataset(8, domain=1, image_hw=(120, 240)),
+    ])
+    val_ds = SyntheticDataset(2, domain=0, image_hw=(120, 240), seed=7)
+
+    model = DGFCOSModel(num_classes=9, num_domains=2, canvas=CANVAS)
+    loader = ProcessTrainLoader(train_ds, 4, dg=True, num_workers=2,
+                                max_gt=16, n_slots=2)
+    trainer = Trainer(
+        model,
+        loader,
+        EvalLoader(val_ds, 1, True, num_workers=2, max_gt=16),
+        dg=True,
+        max_epochs=1,
+        ckpt_path=str(tmp_path / "dgp.ckpt"),
+        log_every=1,
+    )
+    assert trainer.fused_pairs
+    assert loader.dg is False  # flipped before the child started
+    best = trainer.fit()
+    assert np.isfinite(best)
+    assert trainer.global_step == 8
+    assert loader._proc is None  # fit() closed the child
+
+
 def test_batched_eval_matches_batch1_map(tmp_path, patched_canvas):
     """mAP from Trainer.validate() must be identical at eval batch 1 and
     batch 2 (incl. a padded tail batch): batching is a throughput lever
