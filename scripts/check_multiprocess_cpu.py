@@ -1,0 +1,212 @@
+"""Real multi-PROCESS validation of the multi-host path on one machine.
+
+The reference is single-GPU; our multi-host story (parallel/multihost.py)
+was previously exercised only by unit tests + a single-process virtual
+mesh. This check runs the actual `jax.distributed` machinery end to end:
+
+  parent (no jax)
+    spawns 2 worker processes, each with 2 virtual CPU devices
+  worker i
+    multihost.initialize(coordinator_address=localhost:<port>,
+                         num_processes=2, process_id=i)
+        -> real coordination service handshake (the same code path a TPU
+           pod worker takes over DCN, parallel/multihost.py:49-71)
+    global mesh over ALL 4 devices (2 local + 2 on the other process)
+    host_shard_range -> this worker's slice of the global batch
+    jax.make_array_from_process_local_data -> globally-sharded batch
+    ONE fused DG pair step (mode 0 + mode 4, reduced-depth FCOS,
+        parallel/spmd.py) -> the gradient all-reduce crosses the process
+        boundary through XLA:CPU's cross-process collectives
+    all_gather_host_arrays -> real multihost_utils.process_allgather
+  parent
+    asserts both workers exit 0, print identical finite pair losses, and
+    agree on the gathered eval payload
+
+Counterpart being validated: the whole DG step under data parallelism
+spanning hosts (SURVEY §2c "Distributed backend" row; reference has none —
+/root/reference/train_driving_dg.py:163 is single-device).
+
+Run:  python scripts/check_multiprocess_cpu.py          (parent mode)
+Takes ~2-4 min warm on a 1-core host (one tiny-canvas reduced-depth FCOS
+pair program per worker, shared persistent cache).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_PROC = 2
+LOCAL_DEVICES = 2
+GLOBAL_BATCH = 4  # 2 images per worker, 1 per device
+
+
+def _xla_flags() -> str:
+    # mirrors __graft_entry__._dryrun_xla_flags: pinned ISA keeps the
+    # persistent-cache key stable; raised collective timeouts absorb
+    # 2 processes x 2 replica threads timesharing one core
+    return (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+        " --xla_cpu_max_isa=AVX2"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
+
+
+def worker(process_id: int, coordinator: str) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = _xla_flags()
+    # cross-process collectives on the CPU backend route through gloo
+    # (XLA:CPU's in-process rendezvous only covers same-process devices)
+    os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    sys.path.insert(0, REPO)
+
+    import jax
+    from dgod_tpu.parallel import multihost
+
+    # must run BEFORE any backend query (multihost.initialize docstring)
+    multihost.initialize(coordinator_address=coordinator,
+                         num_processes=N_PROC, process_id=process_id)
+
+    cache_dir = os.path.join(REPO, ".jax_dryrun_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    assert jax.process_count() == N_PROC, jax.process_count()
+    assert jax.process_index() == process_id
+    assert len(jax.devices()) == N_PROC * LOCAL_DEVICES
+    assert len(jax.local_devices()) == LOCAL_DEVICES
+    print(f"worker {process_id}: distributed init ok, "
+          f"{len(jax.devices())} global devices", flush=True)
+
+    import numpy as np
+
+    import __graft_entry__ as graft
+    from dgod_tpu.parallel import mesh as mesh_lib
+    from dgod_tpu.parallel.spmd import make_spmd_pair_step
+    from dgod_tpu.models.dg_fcos import DGFCOSModel
+    from dgod_tpu.train import steps as step_lib
+    from dgod_tpu.train.optim import init_opt_state
+
+    mesh = multihost.global_mesh()  # 4 devices, 2 local + 2 remote
+
+    canvas = (32, 64)
+    model = DGFCOSModel(num_classes=9, num_domains=2, canvas=canvas,
+                        backbone_block_counts=(1, 1, 1, 1))
+    params = model.init(jax.random.PRNGKey(0))  # deterministic on both
+    opt_config, base_lr = step_lib.make_optimizer("FCOS")
+    opt_state = init_opt_state(params, opt_config)
+
+    def replicate(tree):
+        # every process holds the identical full value -> a fully
+        # replicated global array can be assembled from local data
+        def put(x):
+            x = np.asarray(x)
+            sh = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(*([None] * x.ndim)))
+            return jax.make_array_from_process_local_data(sh, x)
+
+        return jax.tree.map(put, tree)
+
+    params = replicate(params)
+    opt_state = replicate(opt_state)
+
+    # per-host input sharding: each worker materialises ONLY its slice
+    # (what the per-host loader does at scale, parallel/multihost.py:74)
+    full = graft._tiny_batch(GLOBAL_BATCH, canvas)
+    lo, hi = multihost.host_shard_range(GLOBAL_BATCH)
+    assert (hi - lo) == GLOBAL_BATCH // N_PROC, (lo, hi)
+
+    def shard_batch(tree):
+        def put(x):
+            sh = jax.sharding.NamedSharding(
+                mesh,
+                jax.sharding.PartitionSpec(*(["data"] + [None] * (x.ndim - 1))))
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x[lo:hi]), global_shape=x.shape)
+
+        return jax.tree.map(put, tree)
+
+    batch = shard_batch(full)
+
+    reg = (0.5, 0.5, 0.5, 0.05, 1e-4)
+    with jax.set_mesh(mesh):
+        pair = make_spmd_pair_step(
+            model, 4, reg, opt_config, base_lr, params, mesh)
+        params, opt_state, pm = pair(
+            params, opt_state, batch, jax.random.PRNGKey(2),
+            jax.random.PRNGKey(3), 1.0)
+        l0, l4 = float(pm["loss0"]), float(pm["loss"])
+    assert np.isfinite(l0) and np.isfinite(l4), (l0, l4)
+    # cross-process agreement is asserted by the parent on these lines
+    print(f"worker {process_id}: pair(0+4) losses {l0:.6f}/{l4:.6f}",
+          flush=True)
+
+    # eval aggregation across processes (DGcommon.py:164 analogue at scale)
+    gathered = multihost.all_gather_host_arrays(
+        np.float32([process_id, l0]))
+    gathered = np.asarray(gathered)
+    assert gathered.shape == (N_PROC, 2), gathered.shape
+    assert set(gathered[:, 0].astype(int).tolist()) == set(range(N_PROC))
+    assert np.allclose(gathered[:, 1], l0), gathered
+    print(f"worker {process_id}: process_allgather ok "
+          f"{gathered[:, 0].astype(int).tolist()}", flush=True)
+
+
+def main() -> int:
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    env = dict(os.environ)
+    # never dial the single-slot TPU relay from the workers; CPU only
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = _xla_flags()
+
+    procs = []
+    for i in range(N_PROC):
+        code = (f"import sys; sys.path.insert(0, {REPO!r}); "
+                "from scripts.check_multiprocess_cpu import worker; "
+                f"worker({i}, {coordinator!r})")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+    outs, rcs = [], []
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            out += "\n<<TIMEOUT>>"
+        outs.append(out)
+        rcs.append(p.returncode)
+        print(f"--- worker {i} (rc={p.returncode}) ---\n{out}", flush=True)
+
+    if any(rc != 0 for rc in rcs):
+        print(f"FAIL: worker rcs {rcs}")
+        return 1
+
+    losses = []
+    for out in outs:
+        m = re.search(r"pair\(0\+4\) losses ([\d.]+)/([\d.]+)", out)
+        if not m:
+            print("FAIL: missing loss line")
+            return 1
+        losses.append((float(m.group(1)), float(m.group(2))))
+    if losses[0] != losses[1]:
+        print(f"FAIL: cross-process loss mismatch {losses}")
+        return 1
+    print(f"PASS: 2-process jax.distributed DG pair step, losses agree "
+          f"{losses[0][0]:.6f}/{losses[0][1]:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
