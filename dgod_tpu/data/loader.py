@@ -19,6 +19,10 @@ import numpy as np
 
 from . import transforms as T
 
+# serialises the os.environ scrub window in ProcessTrainLoader._start
+# (multiprocessing spawn inherits the parent env; there is no env= param)
+_SPAWN_ENV_LOCK = threading.Lock()
+
 
 def device_prefetch(iterator, size: int = 2):
     """Asynchronously stage upcoming host batches on the device.
@@ -127,6 +131,20 @@ class TrainLoader:
                 buffered -= 1
 
 
+def _slot_views(buf, spec):
+    """Map one shm slot's buffer into per-key numpy views.
+
+    The SINGLE definition of the slot layout, used by both sides of the
+    ring: writer (_loader_proc_main) and reader (ProcessTrainLoader).
+    """
+    off, vs = 0, {}
+    for k, s, d in spec:
+        n = int(np.prod(s)) * np.dtype(d).itemsize
+        vs[k] = np.ndarray(s, d, buffer=buf[off:off + n])
+        off += n
+    return vs
+
+
 def _loader_proc_main(dataset, loader_kwargs, t_overrides, n_slots,
                       full_q, free_q):
     """Child-process body for ProcessTrainLoader.
@@ -134,7 +152,9 @@ def _loader_proc_main(dataset, loader_kwargs, t_overrides, n_slots,
     Runs a plain TrainLoader (thread pool and all — there is no tunnel/RPC
     client in this process, so its threads convoy with nothing) and writes
     each fixed-shape batch into one of `n_slots` shared-memory slots.
-    Never imports jax.
+    Never imports jax. Any failure (bad file, empty dataset, transform
+    error) is reported through the queue so the parent raises instead of
+    hanging on a dead child.
     """
     from multiprocessing import shared_memory
 
@@ -143,11 +163,15 @@ def _loader_proc_main(dataset, loader_kwargs, t_overrides, n_slots,
     for k, v in t_overrides.items():
         setattr(T, k, v)
 
-    loader = TrainLoader(dataset, **loader_kwargs)
     spec = None
     shms = []
     views = []  # views[slot][key] -> np.ndarray into that slot's shm
     try:
+        loader = TrainLoader(dataset, **loader_kwargs)
+        if loader.steps_per_epoch() == 0:
+            raise ValueError(
+                f"empty loader: {len(dataset)} examples < batch_size "
+                f"{loader_kwargs['batch_size']}")
         while True:
             for batch in loader.epoch():
                 if spec is None:
@@ -160,14 +184,8 @@ def _loader_proc_main(dataset, loader_kwargs, t_overrides, n_slots,
                     for _ in range(n_slots):
                         shm = shared_memory.SharedMemory(
                             create=True, size=max(nbytes, 1))
-                        off, vs = 0, {}
-                        for k, s, d in spec:
-                            n = int(np.prod(s)) * np.dtype(d).itemsize
-                            vs[k] = np.ndarray(
-                                s, d, buffer=shm.buf[off:off + n])
-                            off += n
                         shms.append(shm)
-                        views.append(vs)
+                        views.append(_slot_views(shm.buf, spec))
                     full_q.put(("spec", spec, [m.name for m in shms]))
                 slot = free_q.get()
                 if slot is None:
@@ -177,6 +195,11 @@ def _loader_proc_main(dataset, loader_kwargs, t_overrides, n_slots,
                 full_q.put(("batch", slot))
     except (KeyboardInterrupt, BrokenPipeError, EOFError):
         pass
+    except BaseException as e:  # surface to the parent, don't hang it
+        try:
+            full_q.put(("error", f"{type(e).__name__}: {e}"))
+        except Exception:
+            pass
     finally:
         for shm in shms:
             try:
@@ -238,6 +261,28 @@ class ProcessTrainLoader:
         n = len(self.dataset) // self.batch_size
         return n * 2 if self.dg else n
 
+    def _get_msg(self):
+        """Read the next queue message, failing fast if the child died.
+
+        Polls with a short timeout instead of blocking forever: a child
+        that crashed (or reported ("error", msg)) must surface as a
+        RuntimeError in the training process, not a silent hang.
+        """
+        import queue as queue_mod
+
+        while True:
+            try:
+                msg = self._full_q.get(timeout=5.0)
+            except queue_mod.Empty:
+                if self._proc is not None and not self._proc.is_alive():
+                    raise RuntimeError(
+                        "loader child process died "
+                        f"(exitcode {self._proc.exitcode})")
+                continue
+            if msg and msg[0] == "error":
+                raise RuntimeError(f"loader child process failed: {msg[1]}")
+            return msg
+
     def _start(self):
         import multiprocessing as mp
         import os
@@ -253,35 +298,35 @@ class ProcessTrainLoader:
                   self._full_q, self._free_q),
             daemon=True,
         )
-        # the child must NOT dial the TPU relay (sitecustomize register()
-        # is gated on PALLAS_AXON_POOL_IPS) nor default to a device backend
+        # The child must NOT dial the TPU relay (sitecustomize register()
+        # is gated on PALLAS_AXON_POOL_IPS) nor default to a device
+        # backend. multiprocessing has no env= parameter (the spawned
+        # interpreter inherits os.environ at start()), so the parent env
+        # is scrubbed for the spawn window under a lock; the lock
+        # serialises concurrent _start calls, and the window is a few ms.
         scrub = {"PALLAS_AXON_POOL_IPS": None, "JAX_PLATFORMS": "cpu"}
-        saved = {k: os.environ.get(k) for k in scrub}
-        try:
-            for k, v in scrub.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
-            self._proc.start()
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
-        kind, spec, names = self._full_q.get()
+        with _SPAWN_ENV_LOCK:
+            saved = {k: os.environ.get(k) for k in scrub}
+            try:
+                for k, v in scrub.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+                self._proc.start()
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+        kind, spec, names = self._get_msg()
         assert kind == "spec"
         self._spec = spec
         for name in names:
             shm = shared_memory.SharedMemory(name=name)
-            off, vs = 0, {}
-            for k, s, d in spec:
-                n = int(np.prod(s)) * np.dtype(d).itemsize
-                vs[k] = np.ndarray(s, d, buffer=shm.buf[off:off + n])
-                off += n
             self._shms.append(shm)
-            self._views.append(vs)
+            self._views.append(_slot_views(shm.buf, spec))
         for slot in range(self.n_slots):
             self._free_q.put(slot)
 
@@ -289,7 +334,7 @@ class ProcessTrainLoader:
         if self._proc is None:
             self._start()
         for _ in range(self.steps_per_epoch()):
-            kind, slot = self._full_q.get()
+            kind, slot = self._get_msg()
             assert kind == "batch"
             # copy out so the slot can be released before the (async)
             # device transfer of the yielded batch completes

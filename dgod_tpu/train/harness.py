@@ -216,34 +216,38 @@ class Trainer:
             )
 
     def fit(self):
-        for epoch in range(self.max_epochs):
-            train_stats = self.train_epoch()
-            val = self.validate()
-            val_acc = val["map_50"]
-            self.metrics.log(
-                "epoch", epoch,
-                {"val_acc": val_acc,
-                 "images_per_sec": train_stats["images_per_sec"],
-                 "lr_scale": self.plateau.scale},
-            )
-            print(
-                f"epoch {epoch}: val mAP@0.5 {val_acc:.4f} "
-                f"({train_stats['images_per_sec']:.2f} img/s) "
-                f"per-class {val['map_per_class']}"
-            )
-            if val_acc > self.best_val:
-                self.best_val = val_acc
-                self.store.save(
-                    epoch, self.params, self.opt_state,
-                    {"val_acc": val_acc, "epoch": epoch},
+        try:
+            for epoch in range(self.max_epochs):
+                train_stats = self.train_epoch()
+                val = self.validate()
+                val_acc = val["map_50"]
+                self.metrics.log(
+                    "epoch", epoch,
+                    {"val_acc": val_acc,
+                     "images_per_sec": train_stats["images_per_sec"],
+                     "lr_scale": self.plateau.scale},
                 )
-            self.plateau.step(val_acc)
-            if self.early_stop.step(val_acc):
-                print(f"early stopping at epoch {epoch}")
-                break
-        self.store.wait()
-        if hasattr(self.train_loader, "close"):
-            self.train_loader.close()  # stop a ProcessTrainLoader child
+                print(
+                    f"epoch {epoch}: val mAP@0.5 {val_acc:.4f} "
+                    f"({train_stats['images_per_sec']:.2f} img/s) "
+                    f"per-class {val['map_per_class']}"
+                )
+                if val_acc > self.best_val:
+                    self.best_val = val_acc
+                    self.store.save(
+                        epoch, self.params, self.opt_state,
+                        {"val_acc": val_acc, "epoch": epoch},
+                    )
+                self.plateau.step(val_acc)
+                if self.early_stop.step(val_acc):
+                    print(f"early stopping at epoch {epoch}")
+                    break
+            self.store.wait()
+        finally:
+            # always stop a ProcessTrainLoader child — a mid-fit exception
+            # must not leak the spawned process and its shm/cache memory
+            if hasattr(self.train_loader, "close"):
+                self.train_loader.close()
         return self.best_val
 
     def test(self, test_loader) -> Dict[str, Any]:

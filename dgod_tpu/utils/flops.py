@@ -277,11 +277,12 @@ def jaxpr_mxu_flops(fn, *args, **kwargs) -> float:
             lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
             out = eqn.outvars[0].aval
             dn = eqn.params["dimension_numbers"]
-            groups = (eqn.params.get("feature_group_count", 1)
-                      * eqn.params.get("batch_group_count", 1))
             k_spatial = [rhs.shape[i] for i in dn.rhs_spec[2:]]
-            cin = rhs.shape[dn.rhs_spec[1]]  # per-group input channels
-            return 2.0 * out.size * math.prod(k_spatial) * cin / max(groups, 1)
+            # the kernel's input-channel dim is ALREADY per-group
+            # (Cin/feature_group_count), so no further division: per
+            # output element the MACs are prod(k_spatial) * cin_per_group
+            cin = rhs.shape[dn.rhs_spec[1]]
+            return 2.0 * out.size * math.prod(k_spatial) * cin
         if prim == "dot_general":
             lhs = eqn.invars[0].aval
             out = eqn.outvars[0].aval

@@ -41,9 +41,31 @@ def make_dataset_on_disk(root: str, n: int, hw, seed: int = 0) -> str:
     (image_name, BoxesString, LabelsString — DrivingDataset.py:20-23).
     Structured content (gradient + boxes), not noise: PNG filters make
     noise pathologically slow to decode and unlike street scenes."""
+    import json
+
     import cv2
 
     os.makedirs(root, exist_ok=True)
+    # existing PNGs are only reusable if they were generated with the SAME
+    # parameters — a dir left over from a different --images/src_hw run
+    # would keep its old pixels under a freshly regenerated CSV (stale GT
+    # boxes, wrong decode cost)
+    stamp_path = os.path.join(root, ".gen_params.json")
+    stamp = {"n": int(n), "hw": list(hw), "seed": int(seed)}
+    reuse = False
+    if os.path.exists(stamp_path):
+        try:
+            with open(stamp_path) as f:
+                reuse = json.load(f) == stamp
+        except Exception:
+            reuse = False
+    if not reuse:
+        for name in os.listdir(root):
+            if name.endswith(".png"):
+                os.remove(os.path.join(root, name))
+        with open(stamp_path, "w") as f:
+            json.dump(stamp, f)
+
     rng = np.random.RandomState(seed)
     H, W = hw
     yy = np.linspace(0, 180, H, dtype=np.uint8)[:, None]

@@ -132,12 +132,22 @@ def worker(process_id: int, coordinator: str) -> None:
     batch = shard_batch(full)
 
     reg = (0.5, 0.5, 0.5, 0.05, 1e-4)
+    k2, k3 = jax.random.PRNGKey(2), jax.random.PRNGKey(3)
     with jax.set_mesh(mesh):
         pair = make_spmd_pair_step(
             model, 4, reg, opt_config, base_lr, params, mesh)
-        params, opt_state, pm = pair(
-            params, opt_state, batch, jax.random.PRNGKey(2),
-            jax.random.PRNGKey(3), 1.0)
+        # compile ahead of time, then align both workers on the
+        # coordination-service barrier (NOT a device collective) before
+        # the first execution: gloo's context init allows only ~30 s of
+        # inter-worker skew, which 1-core timesharing of two compiling
+        # processes can exceed
+        compiled = pair.lower(params, opt_state, batch, k2, k3, 1.0).compile()
+        from jax._src import distributed as jax_distributed
+
+        jax_distributed.global_state.client.wait_at_barrier(
+            "dgod_pre_exec", 600_000)
+        print(f"worker {process_id}: compiled, barrier passed", flush=True)
+        params, opt_state, pm = compiled(params, opt_state, batch, k2, k3, 1.0)
         l0, l4 = float(pm["loss0"]), float(pm["loss"])
     assert np.isfinite(l0) and np.isfinite(l4), (l0, l4)
     # cross-process agreement is asserted by the parent on these lines
@@ -155,12 +165,7 @@ def worker(process_id: int, coordinator: str) -> None:
           f"{gathered[:, 0].astype(int).tolist()}", flush=True)
 
 
-def main() -> int:
-    with socket.socket() as s:  # free port for the coordinator
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coordinator = f"localhost:{port}"
-
+def _attempt(coordinator: str):
     env = dict(os.environ)
     # never dial the single-slot TPU relay from the workers; CPU only
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -206,6 +211,22 @@ def main() -> int:
     print(f"PASS: 2-process jax.distributed DG pair step, losses agree "
           f"{losses[0][0]:.6f}/{losses[0][1]:.6f}")
     return 0
+
+
+def main() -> int:
+    # bind-then-close port picking is a TOCTOU race (another process can
+    # grab the port before the coordinator binds it) — retry with a fresh
+    # port rather than stalling both workers to the communicate() timeout
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        rc = _attempt(f"localhost:{port}")
+        if rc == 0:
+            return 0
+        print(f"attempt {attempt} failed (port {port}); retrying"
+              if attempt < 2 else "FAIL after 3 attempts")
+    return 1
 
 
 if __name__ == "__main__":

@@ -169,6 +169,23 @@ def test_driving_dataset_decode_cache(tmp_path):
     assert not ds2._cache
 
 
+def test_process_train_loader_surfaces_child_failure():
+    """A failing child (here: empty dataset -> steps_per_epoch 0) must
+    raise in the parent promptly instead of hanging epoch() forever."""
+    import pytest
+
+    from dgod_tpu.data.loader import ProcessTrainLoader
+
+    ds = SyntheticDataset(1, domain=0, image_hw=(32, 64))  # < batch_size
+    loader = ProcessTrainLoader(ds, batch_size=2, dg=False, num_workers=1,
+                                max_gt=8, n_slots=2)
+    try:
+        with pytest.raises(RuntimeError, match="loader child process"):
+            next(iter(loader.epoch()))
+    finally:
+        loader.close()
+
+
 def test_process_train_loader_matches_thread_loader():
     """ProcessTrainLoader: same contract as TrainLoader — fixed shapes,
     dg duplicate batches identical, full epochs, clean shutdown."""

@@ -122,6 +122,71 @@ def test_reduce_active_grads_reduces_only_active():
     np.testing.assert_array_equal(np.asarray(out["b"]), g_b)
 
 
+def test_spmd_single_mode_step_matches_single_device():
+    """make_spmd_train_step (single-mode shard_map step with the metric
+    scalars fused into the one gradient all-reduce) must match the
+    single-device step — covers the standalone-step API the pair-based
+    dryrun no longer exercises."""
+    from dgod_tpu.models.dg_fcos import DGFCOSModel
+    from dgod_tpu.parallel.spmd import make_spmd_train_step
+    from dgod_tpu.train import steps as step_lib
+    from dgod_tpu.train.optim import init_opt_state
+
+    devs = cpu_devices(2)
+    mesh = mesh_lib.make_mesh(devs)
+    canvas = (32, 64)
+    model = DGFCOSModel(num_classes=9, num_domains=2, canvas=canvas,
+                        compute_dtype=jnp.float32)
+
+    with jax.default_device(devs[0]):
+        params = model.init(jax.random.PRNGKey(0))
+    opt_config, base_lr = step_lib.make_optimizer("FCOS")
+    opt_state = init_opt_state(params, opt_config)
+    reg = (0.5, 0.5, 0.5, 0.05, 1e-4)
+
+    rng = np.random.RandomState(0)
+    b = 2
+    boxes = np.zeros((b, 8, 4), np.float32)
+    labels = np.zeros((b, 8), np.int32)
+    valid = np.zeros((b, 8), bool)
+    boxes[:, 0] = [4, 4, 28, 28]
+    labels[:, 0] = 1
+    valid[:, 0] = True
+    batch = {
+        "image": rng.randint(0, 255, (b, *canvas, 3), np.uint8),
+        "boxes": boxes, "labels": labels, "gt_valid": valid,
+        "domain": np.arange(b, dtype=np.int32) % 2,
+        "image_size": np.tile(np.float32(canvas), (b, 1)),
+        "scale_back": np.ones((b, 2), np.float32),
+    }
+    key = jax.random.PRNGKey(5)
+
+    with jax.default_device(devs[0]):
+        single = step_lib.make_train_step(
+            model, 1, reg, opt_config, base_lr, params, donate=False)
+        p_ref, _, m_ref = single(params, opt_state, batch, key, 1.0)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step = make_spmd_train_step(model, 1, reg, opt_config, base_lr, params,
+                                mesh)
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    p_sh = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+    o_sh = jax.device_put(opt_state, jax.tree.map(lambda _: rep, opt_state))
+    b_sh = jax.device_put(batch, {k: data for k in batch})
+    with jax.set_mesh(mesh):
+        p_out, _, m_out = step(p_sh, o_sh, b_sh, key, 1.0)
+
+    np.testing.assert_allclose(float(m_out["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+    flat_ref = jax.tree_util.tree_leaves(p_ref)
+    flat_out = jax.tree_util.tree_leaves(p_out)
+    for a, bb in zip(flat_ref, flat_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=5e-3, atol=1e-4)
+
+
 def test_spmd_pair_step_matches_single_device():
     """Fused (mode0+mode1) pair under shard_map on a 2-way data mesh must
     match the single-device fused pair step."""
