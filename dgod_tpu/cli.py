@@ -99,8 +99,10 @@ def datasets_from_arguments(source_domains: str, target_domains: str,
         return out
 
     tr_datasets = build(source_domains, "train", decode_cache_gb)
-    vl_datasets = build(source_domains, "val")
-    test_datasets = build(target_domains, "val")
+    # val sweeps run EVERY epoch over the same images (DGcommon.py:154-166)
+    # — the decode cache pays off there just as much as in training
+    vl_datasets = build(source_domains, "val", decode_cache_gb)
+    test_datasets = build(target_domains, "val", decode_cache_gb)
     return (
         ConcatDataset(tr_datasets), tr_datasets,
         ConcatDataset(vl_datasets), ConcatDataset(test_datasets),

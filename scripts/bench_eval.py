@@ -70,8 +70,11 @@ def bench_family(family):
     scored = jax.jit(lambda p, bt: model.predict(p, bt)["scores"].sum())
     rt = calibrate_roundtrip()
 
+    batches_env = os.environ.get("DGOD_BENCH_EVAL_BATCHES", "1,8")
+    batch_sizes = tuple(int(x) for x in batches_env.split(",") if x)
+
     out = {}
-    for b in (1, 8):
+    for b in batch_sizes:
         batch = jax.device_put(make_batch(b))
         ms = time_scalar_fn(scored, params, batch, n=N_TIMED,
                             roundtrip_ms=rt)
