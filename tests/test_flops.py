@@ -90,6 +90,26 @@ def test_analytic_matches_jaxpr(family, mode, tol):
     )
 
 
+def test_jaxpr_flops_grouped_conv():
+    """Grouped convs: the kernel's input-channel dim is already per-group,
+    so the jaxpr walk must NOT divide by the group count again. Hand
+    count: out.size * k * (cin/groups) MACs * 2."""
+    import numpy as np
+
+    x = jnp.zeros((1, 16, 8, 8), jnp.float32)  # NCHW, cin 16
+    w = jnp.zeros((32, 4, 3, 3), jnp.float32)  # cout 32, cin/g=4 -> g=4
+
+    def fn(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            feature_group_count=4)
+
+    got = F.jaxpr_mxu_flops(fn, x, w)
+    out_size = 1 * 32 * 8 * 8
+    expect = 2.0 * out_size * 3 * 3 * 4  # cin_per_group = 4
+    np.testing.assert_allclose(got, expect)
+
+
 def test_train_mfu_shape():
     out = F.train_mfu("FCOS", (608, 1216), 8, images_per_sec=200.0)
     assert 0.0 < out["mfu"] < 1.0
