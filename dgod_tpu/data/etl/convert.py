@@ -98,14 +98,13 @@ def rows_bdd10k(data_root: str, image_set: str, class_ids):
         yield item["name"], boxes, labels
 
 
-def _rows_gtfine(images_dir: str, labels_dir: str, image_suffix: str, class_ids):
+def _rows_gtfine(images_dir: str, labels_dir: str, base_fn, class_ids):
     for city in sorted(os.listdir(images_dir)):
         city_dir = os.path.join(images_dir, city)
         if not os.path.isdir(city_dir):
             continue
         for fname in sorted(os.listdir(city_dir)):
-            stem = fname.split(".")[0]
-            base = stem.replace(image_suffix, "") if image_suffix else stem.split("_")[0]
+            base = base_fn(fname)
             json_path = os.path.join(labels_dir, city, base + "_gtFine_polygons.json")
             with open(json_path) as f:
                 data = json.load(f)
@@ -121,11 +120,31 @@ def _rows_gtfine(images_dir: str, labels_dir: str, image_suffix: str, class_ids)
             yield f"{city}/{fname}", boxes, labels
 
 
-def rows_cityscapes(data_root: str, image_set: str, class_ids):
+def rows_cityscapes(data_root: str, image_set: str, class_ids,
+                    weather: str = "clear"):
+    """Cityscapes gtFine polygons -> rows, optionally for the foggy/rain
+    refined variants.
+
+    The reference declares --weather clear|foggy|rain
+    (json2csv_cityscapes.py:19-21) and notes the refined foggy/rain sets
+    (:52) but never wires the flag into its paths — the variants are
+    unproducible there. Here it is functional: foggy/rain read from
+    `leftImg8bit_<weather>/` (the Foggy/Rain Cityscapes layout, e.g.
+    `aachen_..._leftImg8bit_foggy_beta_0.01.png`), share the clear split's
+    gtFine annotations, and write `cityscapes_<weather>_*` CSVs.
+
+    The annotation base name is the first three '_'-separated fields of the
+    filename (city_seq_frame), exactly the reference's extraction
+    (json2csv_cityscapes.py:73-75) — suffix-agnostic, so one rule covers
+    clear and every beta/alpha-suffixed weather rendering.
+    """
+    if weather not in ("clear", "foggy", "rain"):
+        raise ValueError(f"weather must be clear|foggy|rain, got {weather!r}")
+    img_subdir = "leftImg8bit" if weather == "clear" else f"leftImg8bit_{weather}"
     return _rows_gtfine(
-        os.path.join(data_root, "Cityscapes", "leftImg8bit", image_set),
+        os.path.join(data_root, "Cityscapes", img_subdir, image_set),
         os.path.join(data_root, "Cityscapes", "gtFine", image_set),
-        "_leftImg8bit", class_ids,
+        lambda fname: "_".join(fname.split("_")[:3]), class_ids,
     )
 
 
@@ -133,7 +152,7 @@ def rows_idd(data_root: str, image_set: str, class_ids):
     return _rows_gtfine(
         os.path.join(data_root, "IDD", "leftImg8bit", image_set),
         os.path.join(data_root, "IDD", "gtFine", image_set),
-        "", class_ids,
+        lambda fname: fname.split(".")[0].split("_")[0], class_ids,
     )
 
 
@@ -146,19 +165,28 @@ GENERATORS = {
 
 
 def convert(dataset: str, image_set: str, data_root: str = ".",
-            out_dir: str = "Annots", category: str = "all") -> str:
+            out_dir: str = "Annots", category: str = "all",
+            weather: str = "clear") -> str:
     class_ids = CLASS_IDS if category == "all" else CAR_ONLY_IDS
+    if weather != "clear" and dataset != "cityscapes":
+        raise ValueError("--weather applies to cityscapes only "
+                         "(reference json2csv_cityscapes.py:19-21)")
+    gen = GENERATORS[dataset]
+    rows_iter = (gen(data_root, image_set, class_ids, weather=weather)
+                 if dataset == "cityscapes" else
+                 gen(data_root, image_set, class_ids))
     rows = [
         {
             "image_name": name,
             "BoxesString": encode_boxes(boxes),
             "LabelsString": encode_labels(labels),
         }
-        for name, boxes, labels in GENERATORS[dataset](data_root, image_set, class_ids)
+        for name, boxes, labels in rows_iter
     ]
     df = pd.DataFrame(rows, columns=["image_name", "BoxesString", "LabelsString"])
     os.makedirs(out_dir, exist_ok=True)
-    out_path = os.path.join(out_dir, f"{dataset}_{image_set}_{category}.csv")
+    tag = dataset if weather == "clear" else f"{dataset}_{weather}"
+    out_path = os.path.join(out_dir, f"{tag}_{image_set}_{category}.csv")
     df.to_csv(out_path)
     return out_path
 
@@ -168,11 +196,15 @@ def main(argv=None):
     p.add_argument("--dataset", choices=sorted(GENERATORS), required=True)
     p.add_argument("--image_set", default="train", help="train or val")
     p.add_argument("--category", default="all", help="all or car")
+    p.add_argument("--weather", default="clear",
+                   choices=["clear", "foggy", "rain"],
+                   help="cityscapes only: clear, foggy, rain "
+                        "(refined weather variants)")
     p.add_argument("--data_root", default=".")
     p.add_argument("--out", dest="out_dir", default="Annots")
     args = p.parse_args(argv)
     path = convert(args.dataset, args.image_set, args.data_root, args.out_dir,
-                   args.category)
+                   args.category, args.weather)
     print(path)
 
 

@@ -49,7 +49,27 @@ class PickleStore:
         if not self.exists():
             return None
         with open(self.path, "rb") as f:
+            head = f.read(2)
+            f.seek(0)
+            if head == b"PK":
+                # torch>=1.6 saves are zip archives; a reference-produced
+                # .ckpt left at the warm-start path is the likeliest cause
+                # (train_driving_dg.py:154-155 workflow).
+                raise ValueError(
+                    f"{self.path} is a PyTorch zip checkpoint, not a dgod_tpu "
+                    "one. Move it aside and port it with --torch_weights "
+                    f"{self.path} instead (utils/weights.port_torchvision).")
             payload = pickle.load(f)
+        if not (isinstance(payload, dict)
+                and {"params", "opt_state"} <= payload.keys()):
+            # legacy (pre-zip) torch pickles load fine but have the wrong
+            # schema ('state_dict', torch tensors) — fail with a pointer
+            # rather than letting from_bytes crash opaquely.
+            raise ValueError(
+                f"{self.path} is not a dgod_tpu checkpoint (keys: "
+                f"{sorted(payload) if isinstance(payload, dict) else type(payload).__name__}). "
+                "If it came from the PyTorch reference, move it aside and "
+                "port it via --torch_weights.")
         params = serialization.from_bytes(params_template, payload["params"])
         opt_state = serialization.from_bytes(
             opt_state_template, payload["opt_state"])

@@ -29,6 +29,33 @@ def test_pickle_store_roundtrip(tmp_path):
     np.testing.assert_array_equal(p2["a"], params["a"])
 
 
+def test_pickle_store_rejects_torch_checkpoints(tmp_path):
+    """A reference-produced .ckpt at the warm-start path must fail loudly
+    with a pointer to --torch_weights, not crash inside pickle/from_bytes
+    (reference workflow: train_driving_dg.py:154-155)."""
+    import pickle
+
+    import pytest
+    import torch
+
+    params, opt = _trees()
+
+    # torch>=1.6 zip-format save
+    zip_path = tmp_path / "ref_zip.ckpt"
+    torch.save({"state_dict": {"w": torch.zeros(2)}}, str(zip_path))
+    store = make_store(str(zip_path))
+    with pytest.raises(ValueError, match="torch_weights"):
+        store.load_latest(params, opt)
+
+    # legacy plain-pickle save with the reference's schema
+    legacy_path = tmp_path / "ref_legacy.ckpt"
+    with open(legacy_path, "wb") as f:
+        pickle.dump({"state_dict": {"w": np.zeros(2)}}, f)
+    store = make_store(str(legacy_path))
+    with pytest.raises(ValueError, match="torch_weights"):
+        store.load_latest(params, opt)
+
+
 def test_orbax_store_async_best_only(tmp_path):
     store = make_store(str(tmp_path / "ckpts"))
     params, opt = _trees()

@@ -63,6 +63,40 @@ def test_cityscapes_polygon_conversion(tmp_path):
     assert str(df.iloc[0].LabelsString) == "3"
 
 
+def test_cityscapes_foggy_weather_variant(tmp_path):
+    """--weather foggy reads leftImg8bit_foggy/, shares the clear gtFine
+    annotations via the city_seq_frame base name (suffix-agnostic, covering
+    the beta-suffixed foggy renderings), and writes cityscapes_foggy_* CSVs
+    (reference json2csv_cityscapes.py:19-21,52 declares the flag but never
+    wires it)."""
+    root = tmp_path
+    img_dir = root / "Cityscapes" / "leftImg8bit_foggy" / "train" / "aachen"
+    gt_dir = root / "Cityscapes" / "gtFine" / "train" / "aachen"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    fname = "aachen_000000_000019_leftImg8bit_foggy_beta_0.01.png"
+    (img_dir / fname).write_bytes(b"")
+    ann = {"objects": [
+        {"label": "person", "polygon": [[5, 6], [50, 60], [20, 90]]},
+    ]}
+    (gt_dir / "aachen_000000_000019_gtFine_polygons.json").write_text(json.dumps(ann))
+    out = C.convert("cityscapes", "train", str(root), str(root / "Annots"),
+                    weather="foggy")
+    assert os.path.basename(out) == "cityscapes_foggy_train_all.csv"
+    df = pd.read_csv(out)
+    assert len(df) == 1
+    assert df.iloc[0].image_name == f"aachen/{fname}"
+    assert df.iloc[0].BoxesString == "5.0 6.0 50.0 90.0"
+    assert str(df.iloc[0].LabelsString) == "1"
+
+
+def test_weather_rejected_for_non_cityscapes(tmp_path):
+    import pytest
+    with pytest.raises(ValueError, match="cityscapes only"):
+        C.convert("bdd10k", "val", str(tmp_path), str(tmp_path / "Annots"),
+                  weather="foggy")
+
+
 def test_bdd_conversion(tmp_path):
     root = tmp_path
     lab = root / "BDD100K" / "labels"
