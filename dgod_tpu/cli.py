@@ -72,6 +72,15 @@ def parser_args(argv=None):
                              "budget (GiB); epochs >= 2 skip PNG decode — "
                              "the dominant host cost on low-core hosts "
                              "(scripts/bench_e2e.py numbers)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="multi-device SPMD training: 'auto' (all "
+                             "devices, data-parallel), 'data=N', or "
+                             "'data=N,model=M' (tensor parallelism on the "
+                             "head kernels, parallel/mesh.py TP_PATTERNS). "
+                             "On multi-host clusters jax.distributed is "
+                             "initialised automatically and each host "
+                             "loads only its data shard. The reference is "
+                             "single-GPU (train_driving_dg.py:163)")
     parser.add_argument("--process_loader", action="store_true",
                         help="run the train loader in a child process "
                              "(shared-memory ring): required for full "
@@ -115,12 +124,42 @@ def main(argv=None):
     np.random.seed(SEED)
     random.seed(SEED)
 
+    mesh = None
+    if args.mesh:
+        from .parallel import mesh as mesh_lib, multihost
+
+        # must run before ANY backend query (multihost.initialize docstring)
+        multihost.initialize()
+        mesh = mesh_lib.parse_mesh_spec(args.mesh)
+
     source = args.source_domains.lower()
     target = args.target_domains.lower()
     tr_dataset, tr_datasets, vl_dataset, test_dataset = datasets_from_arguments(
         source, target, args.data_root, args.decode_cache_gb
     )
     num_domains = len(tr_datasets)
+
+    # multi-host input sharding: each process loads only its slice. Train
+    # shards must be equal-sized (unequal per-host batch counts deadlock
+    # the SPMD step) -> even split; eval keeps every image (ceil split) and
+    # equalises program counts with dummy padded batches below.
+    pad_batches = {}
+    if mesh is not None:
+        import jax
+
+        from .data.dataset import Subset
+        from .parallel.multihost import host_shard_range
+
+        if jax.process_count() > 1:
+            tr_dataset = Subset(
+                tr_dataset, *host_shard_range(len(tr_dataset), even=True))
+            for key, ds in (("val", vl_dataset), ("test", test_dataset)):
+                per = -(-len(ds) // jax.process_count())  # ceil
+                bs = args.eval_batch_size
+                pad_batches[key] = -(-per // bs)  # max batches any host runs
+            vl_dataset = Subset(vl_dataset, *host_shard_range(len(vl_dataset)))
+            test_dataset = Subset(
+                test_dataset, *host_shard_range(len(test_dataset)))
 
     # the model canvas must match the data pipeline's padded canvas — bind
     # it to the single source of truth instead of a second default
@@ -145,8 +184,10 @@ def main(argv=None):
     dg = args.exp == "dg"
     loader_cls = ProcessTrainLoader if args.process_loader else TrainLoader
     train_loader = loader_cls(tr_dataset, args.batch_size, dg, seed=SEED)
-    val_loader = EvalLoader(vl_dataset, args.eval_batch_size, val_resize)
-    test_loader = EvalLoader(test_dataset, args.eval_batch_size, val_resize)
+    val_loader = EvalLoader(vl_dataset, args.eval_batch_size, val_resize,
+                            pad_to_batches=pad_batches.get("val"))
+    test_loader = EvalLoader(test_dataset, args.eval_batch_size, val_resize,
+                             pad_to_batches=pad_batches.get("test"))
 
     ckpt = os.path.join(args.weights_folder, args.weights_file + ".ckpt")
     trainer = Trainer(
@@ -156,6 +197,7 @@ def main(argv=None):
         metrics_path=args.metrics_path, tb_dir=args.tb_dir,
         warmup_steps=args.warmup_steps,
         torch_weights=args.torch_weights,
+        mesh=mesh,
     )
     trainer.fit()
     return trainer.test(test_loader)

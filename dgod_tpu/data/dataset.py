@@ -167,6 +167,29 @@ class SyntheticDataset:
         )
 
 
+class Subset:
+    """A contiguous [start, stop) view of a dataset.
+
+    Used for per-host input sharding on multi-process runs: each host's
+    loader sees only its `multihost.host_shard_range` slice so no host
+    decodes images another host will consume (the reference is single-GPU
+    and has no such concept, train_driving_dg.py:163)."""
+
+    def __init__(self, dataset, start: int, stop: int):
+        assert 0 <= start <= stop <= len(dataset), (start, stop, len(dataset))
+        self.dataset = dataset
+        self.start = int(start)
+        self.stop = int(stop)
+
+    def __len__(self):
+        return self.stop - self.start
+
+    def __getitem__(self, idx: int):
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        return self.dataset[self.start + idx]
+
+
 class ConcatDataset:
     """Concatenation of per-domain datasets (torch ConcatDataset parity)."""
 

@@ -24,20 +24,26 @@ from . import transforms as T
 _SPAWN_ENV_LOCK = threading.Lock()
 
 
-def device_prefetch(iterator, size: int = 2):
+def device_prefetch(iterator, size: int = 2, place=None):
     """Asynchronously stage upcoming host batches on the device.
 
     jax.device_put is async; holding `size` batches in flight overlaps the
     uint8 host->device copy with the previous step's compute (the TPU
     analogue of the reference's DataLoader worker prefetch).
+
+    `place` overrides the placement function — mesh runs pass the Trainer's
+    batch placer, which builds globally-sharded arrays from each process's
+    host-local batch (train/harness.py::Trainer._batch_placer).
     """
     import collections
 
     import jax
 
+    if place is None:
+        place = jax.device_put
     buf = collections.deque()
     for batch in iterator:
-        buf.append(jax.device_put(batch))
+        buf.append(place(batch))
         if len(buf) >= size:
             yield buf.popleft()
     while buf:
@@ -378,15 +384,24 @@ class EvalLoader:
         resize_to_train_size: bool = True,
         num_workers: int = 8,
         max_gt: int = T.MAX_GT,
+        pad_to_batches: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.resize = resize_to_train_size
         self.num_workers = num_workers
         self.max_gt = max_gt
+        # multi-process SPMD eval requires every host to issue the SAME
+        # number of programs; hosts whose data shard rounds to fewer
+        # batches pad with all-dummy batches (num_real=0, masked from the
+        # metric) up to the global max batch count.
+        self.pad_to_batches = pad_to_batches
 
     def __len__(self):
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        n = (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        if self.pad_to_batches is not None:
+            n = max(n, self.pad_to_batches)
+        return n
 
     def _load_one(self, idx: int):
         img, boxes, labels, domain = self.dataset[int(idx)]
@@ -413,17 +428,28 @@ class EvalLoader:
 
             fill()
             group = []
+            emitted = 0
+            last = None
             while inflight:
                 group.append(inflight.popleft().result())
                 fill()
                 if len(group) == self.batch_size:
-                    yield T.stack_examples(group)
+                    last = T.stack_examples(group)
+                    yield last
+                    emitted += 1
                     group = []
             if group:
                 # pad the tail batch by repeating the last example; caller
                 # masks via 'num_real' count
                 rem = len(group)
-                batch = T.stack_examples(
+                last = T.stack_examples(
                     group + [group[-1]] * (self.batch_size - rem))
-                batch["num_real"] = rem
-                yield batch
+                last["num_real"] = rem
+                yield last
+                emitted += 1
+            if self.pad_to_batches is not None and last is not None:
+                while emitted < self.pad_to_batches:
+                    dummy = dict(last)
+                    dummy["num_real"] = 0
+                    yield dummy
+                    emitted += 1

@@ -36,6 +36,39 @@ def make_mesh(devices: Optional[Sequence] = None, data: int = None, model: int =
     return Mesh(arr, ("data", "model"))
 
 
+def parse_mesh_spec(spec: str, devices: Optional[Sequence] = None) -> Mesh:
+    """CLI `--mesh` spec -> Mesh.
+
+    Forms: 'auto' (all devices, pure data parallelism), 'data=N',
+    'data=N,model=M', 'model=M' (data inferred as n_devices/M). Uses the
+    first data*model devices, so 'data=2' works on an 8-device host (e.g.
+    the virtual-CPU test mesh)."""
+    devices = list(devices if devices is not None else jax.devices())
+    spec = spec.strip().lower()
+    if spec in ("auto", "all", ""):
+        return make_mesh(devices)
+    data = model = None
+    for part in spec.split(","):
+        key, _, val = part.partition("=")
+        key = key.strip()
+        if key not in ("data", "model") or not val.strip().isdigit():
+            raise ValueError(
+                f"bad --mesh spec {spec!r}: expected 'auto' or "
+                "'data=N[,model=M]'")
+        if key == "data":
+            data = int(val)
+        else:
+            model = int(val)
+    model = model or 1
+    if data is None:
+        data = len(devices) // model
+    need = data * model
+    if need > len(devices):
+        raise ValueError(
+            f"--mesh {spec!r} needs {need} devices, have {len(devices)}")
+    return make_mesh(devices[:need], data=data, model=model)
+
+
 def _path_str(path):
     return "/".join(str(getattr(p, "key", p)) for p in path)
 

@@ -71,10 +71,20 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
         jax.distributed.initialize()
 
 
-def host_shard_range(n_examples: int):
-    """This host's [start, stop) slice of a dataset of n_examples."""
+def host_shard_range(n_examples: int, even: bool = False):
+    """This host's [start, stop) slice of a dataset of n_examples.
+
+    `even=True` gives every host an identical floor(n/k)-sized slice,
+    dropping up to k-1 tail examples — a hard requirement for TRAIN
+    sharding, where unequal per-host batch counts would deadlock the SPMD
+    step (one host stops issuing programs before the others). Eval keeps
+    the ceil split (no example dropped) and equalises program counts with
+    EvalLoader(pad_to_batches=...) dummy batches instead."""
     p = jax.process_index()
     k = jax.process_count()
+    if even:
+        per = n_examples // k
+        return p * per, (p + 1) * per
     per = (n_examples + k - 1) // k
     return p * per, min(n_examples, (p + 1) * per)
 

@@ -214,3 +214,33 @@ def test_process_train_loader_matches_thread_loader():
     finally:
         loader.close()
     assert loader._proc is None
+
+
+def test_subset_view():
+    from dgod_tpu.data.dataset import Subset
+
+    ds = SyntheticDataset(10, domain=0)
+    sub = Subset(ds, 3, 7)
+    assert len(sub) == 4
+    np.testing.assert_array_equal(sub[0][0], ds[3][0])
+    np.testing.assert_array_equal(sub[3][0], ds[6][0])
+    import pytest
+    with pytest.raises(IndexError):
+        sub[4]
+    with pytest.raises(AssertionError):
+        Subset(ds, 5, 11)
+
+
+def test_eval_loader_pad_to_batches():
+    """Hosts with a short eval shard pad with num_real=0 dummy batches so
+    every host issues the same number of SPMD eval programs."""
+    ds = SyntheticDataset(3, domain=0)
+    loader = EvalLoader(ds, batch_size=2, resize_to_train_size=True,
+                        num_workers=2, pad_to_batches=4)
+    batches = list(loader)
+    assert len(batches) == 4 and len(loader) == 4
+    assert "num_real" not in batches[0]          # full batch
+    assert batches[1]["num_real"] == 1           # real tail
+    assert batches[2]["num_real"] == 0           # padding
+    assert batches[3]["num_real"] == 0
+    assert batches[2]["image"].shape == batches[0]["image"].shape

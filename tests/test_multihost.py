@@ -108,3 +108,25 @@ def test_multi_node_slurm_auto_inits(recorder, monkeypatch):
     monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
     multihost.initialize()
     assert ("initialize", {}) in recorder.calls
+
+
+def test_host_shard_range_even_vs_ceil(monkeypatch):
+    """even=True must give every host the same floor(n/k) slice (unequal
+    per-host TRAIN batch counts deadlock the SPMD step); default ceil split
+    covers every example (eval)."""
+    import jax
+
+    def set_proc(p, k):
+        monkeypatch.setattr(jax, "process_index", lambda: p)
+        monkeypatch.setattr(jax, "process_count", lambda: k)
+
+    # n=10, k=3: ceil -> 4,4,2 (covers all); even -> 3,3,3 (drops 1)
+    ranges_ceil, ranges_even = [], []
+    for p in range(3):
+        set_proc(p, 3)
+        ranges_ceil.append(multihost.host_shard_range(10))
+        ranges_even.append(multihost.host_shard_range(10, even=True))
+    assert ranges_ceil == [(0, 4), (4, 8), (8, 10)]
+    assert ranges_even == [(0, 3), (3, 6), (6, 9)]
+    sizes = {b - a for a, b in ranges_even}
+    assert sizes == {3}

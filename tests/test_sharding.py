@@ -254,3 +254,64 @@ def test_spmd_pair_step_matches_single_device():
     for a, bb in zip(flat_ref, flat_out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_parse_mesh_spec():
+    from dgod_tpu.parallel.mesh import parse_mesh_spec
+
+    devs = cpu_devices(8)
+    assert parse_mesh_spec("auto", devs).shape == {"data": 8, "model": 1}
+    assert parse_mesh_spec("data=4", devs).shape == {"data": 4, "model": 1}
+    assert parse_mesh_spec("data=2,model=2", devs).shape == {
+        "data": 2, "model": 2}
+    assert parse_mesh_spec("model=2", devs).shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        parse_mesh_spec("data=16", devs)
+    with pytest.raises(ValueError, match="bad --mesh spec"):
+        parse_mesh_spec("tp=4", devs)
+
+
+def test_batch_placer_mesh_semantics():
+    """Trainer._batch_placer: leading-dim sharding when divisible,
+    replication fallback (single-process) otherwise, host passthrough for
+    scalars like the eval tail's num_real."""
+    from dgod_tpu.train.harness import Trainer
+
+    devs = cpu_devices(4)
+    mesh = mesh_lib.make_mesh(devs)
+    t = Trainer.__new__(Trainer)  # placer only needs .mesh
+    t.mesh = mesh
+    place = t._batch_placer()
+    batch = {
+        "image": np.zeros((8, 4, 4, 3), np.uint8),
+        "num_real": 3,
+        "odd": np.zeros((3, 2), np.float32),
+    }
+    out = place(batch)
+    assert out["num_real"] == 3 and isinstance(out["num_real"], int)
+    img_specs = {s.data.shape for s in out["image"].addressable_shards}
+    assert img_specs == {(2, 4, 4, 3)}  # 8 rows over 4 devices
+    # 3 rows don't divide 4 -> replicated fallback
+    assert out["odd"].sharding.is_fully_replicated
+
+    t2 = Trainer.__new__(Trainer)
+    t2.mesh = None
+    import jax as _jax
+    assert t2._batch_placer() is _jax.device_put
+
+
+def test_local_rows_roundtrip():
+    """_local_rows must return the batch rows in dataset order for sharded
+    and replicated arrays alike (single-process: full array)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dgod_tpu.train.harness import Trainer
+
+    devs = cpu_devices(4)
+    mesh = mesh_lib.make_mesh(devs)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(Trainer._local_rows(sharded), x)
+    rep = jax.device_put(x, NamedSharding(mesh, P()))
+    np.testing.assert_array_equal(Trainer._local_rows(rep), x)
+    np.testing.assert_array_equal(Trainer._local_rows(x), x)

@@ -208,3 +208,100 @@ def test_batched_eval_matches_batch1_map(tmp_path, patched_canvas):
     r1 = trainer.validate(EvalLoader(ds, 1, True, num_workers=2, max_gt=16))
     r2 = trainer.validate(EvalLoader(ds, 2, True, num_workers=2, max_gt=16))
     assert abs(r1["map_50"] - r2["map_50"]) < 1e-9, (r1, r2)
+
+
+class _FixedBoxDataset:
+    """Every image: ONE identical planted box. Per-image fg counts are then
+    equal, the condition under which per-shard loss normalisation equals
+    the global unsharded one (see __graft_entry__._tiny_batch), making the
+    DP-vs-single-device parity below exact up to f32 layout rounding."""
+
+    def __init__(self, n, domain, seed=0, image_hw=(30, 60)):
+        rng = np.random.RandomState(seed + domain)
+        h, w = image_hw
+        self.images = [rng.randint(0, 255, (h, w, 3), np.uint8)
+                       for _ in range(n)]
+        self.domain = domain
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        return (
+            self.images[idx].copy(),
+            np.array([[6.0, 6.0, 30.0, 26.0]], np.float32),
+            np.array([1], np.int32),
+            self.domain,
+        )
+
+
+@pytest.fixture()
+def micro_canvas(monkeypatch):
+    from dgod_tpu.data import transforms as T
+
+    monkeypatch.setattr(T, "CANVAS", (32, 64))
+    monkeypatch.setattr(T, "TRAIN_SIZE", (30, 60))
+    monkeypatch.setattr(T, "MIN_SIZE", 30)
+    monkeypatch.setattr(T, "MAX_SIZE", 60)
+    monkeypatch.setattr(T, "MIN_AREA", 1.0)
+    return T
+
+
+def test_trainer_mesh_dp_matches_single_device(tmp_path, micro_canvas):
+    """Trainer(mesh=8-device DP) must reproduce the single-device run
+    through the REAL harness path — the dryrun's anchor check, but via
+    Trainer.train_epoch/validate instead of bespoke step wiring (VERDICT
+    round-4 #2). Covers: _batch_placer global arrays, spmd pair steps from
+    the harness, mesh-placed eval, param placement."""
+    import jax.numpy as jnp
+
+    from dgod_tpu.parallel import mesh as mesh_lib
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual cpu devices")
+    mesh = mesh_lib.make_mesh(devs[:8])
+
+    def build(use_mesh):
+        train_ds = ConcatDataset([
+            _FixedBoxDataset(16, 0), _FixedBoxDataset(16, 1)])
+        val_ds = _FixedBoxDataset(4, 0, seed=7)
+        from dgod_tpu.models.dg_fcos import DGFCOSModel as M
+
+        model = M(num_classes=9, num_domains=2, canvas=(32, 64),
+                  compute_dtype=jnp.float32,
+                  backbone_block_counts=(1, 1, 1, 1))
+        return Trainer(
+            model,
+            TrainLoader(train_ds, 8, dg=True, num_workers=2, max_gt=4),
+            EvalLoader(val_ds, 2, True, num_workers=2, max_gt=4),
+            dg=True,
+            max_epochs=1,
+            ckpt_path=str(tmp_path / f"mesh{int(use_mesh)}.ckpt"),
+            log_every=1,
+            mesh=mesh if use_mesh else None,
+        )
+
+    t_single = build(False)
+    s_stats = t_single.train_epoch()
+
+    t_mesh = build(True)
+    assert t_mesh.fused_pairs
+    m_stats = t_mesh.train_epoch()
+
+    # 32 images / global batch 8 = 4 pair steps -> all four DG pairs ran
+    assert t_mesh.global_step == 8 == t_single.global_step
+    np.testing.assert_allclose(m_stats["loss"], s_stats["loss"], rtol=1e-4)
+    np.testing.assert_allclose(m_stats["loss0"], s_stats["loss0"], rtol=1e-4)
+
+    flat_s = jax.tree_util.tree_leaves_with_path(t_single.params)
+    flat_m = jax.tree_util.tree_leaves_with_path(t_mesh.params)
+    for (pa, a), (pb, b) in zip(flat_s, flat_m):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4, err_msg=str(pa))
+
+    # validation through the mesh path must give the identical mAP
+    r_s = t_single.validate()
+    r_m = t_mesh.validate()
+    assert abs(r_s["map_50"] - r_m["map_50"]) < 1e-9, (r_s, r_m)
