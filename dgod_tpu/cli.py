@@ -72,6 +72,17 @@ def parser_args(argv=None):
                              "budget (GiB); epochs >= 2 skip PNG decode — "
                              "the dominant host cost on low-core hosts "
                              "(scripts/bench_e2e.py numbers)")
+    parser.add_argument("--reference_quirks", action="store_true",
+                        help="make the run reference-EXACT for parity "
+                             "studies: FCOS trains the <=1-GT-image "
+                             "zero-target branch (reference fcos.py:139-144)"
+                             " and the matcher's exact area formula "
+                             "(fcos.py:543), and the DG duplicate batch "
+                             "re-samples its augmentation instead of "
+                             "replaying identical pixels (DGcommon.py:139-"
+                             "151), which also disables the fused pair-step "
+                             "optimisation. Defaults reproduce the intent "
+                             "with the quirks fixed (docs/MIGRATION.md)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="multi-device SPMD training: 'auto' (all "
                              "devices, data-parallel), 'data=N', or "
@@ -174,16 +185,23 @@ def main(argv=None):
         val_resize = False  # raw-size val path (train_driving_dg.py:137-138)
     elif args.model == "FCOS":
         from .models.dg_fcos import DGFCOSModel
+        from .models.fcos import FCOSLossConfig
 
+        loss_config = FCOSLossConfig(
+            exact_reference_area=args.reference_quirks,
+            single_gt_quirk=args.reference_quirks,
+        )
         model = DGFCOSModel(
-            num_classes=9, num_domains=num_domains, canvas=canvas)
+            num_classes=9, num_domains=num_domains, canvas=canvas,
+            loss_config=loss_config)
         val_resize = True  # Resize(600,1200) val path (train_driving_dg.py:140-142)
     else:
         raise ValueError(args.model)
 
     dg = args.exp == "dg"
     loader_cls = ProcessTrainLoader if args.process_loader else TrainLoader
-    train_loader = loader_cls(tr_dataset, args.batch_size, dg, seed=SEED)
+    train_loader = loader_cls(tr_dataset, args.batch_size, dg, seed=SEED,
+                              resample_replay=args.reference_quirks)
     val_loader = EvalLoader(vl_dataset, args.eval_batch_size, val_resize,
                             pad_to_batches=pad_batches.get("val"))
     test_loader = EvalLoader(test_dataset, args.eval_batch_size, val_resize,
@@ -197,6 +215,9 @@ def main(argv=None):
         metrics_path=args.metrics_path, tb_dir=args.tb_dir,
         warmup_steps=args.warmup_steps,
         torch_weights=args.torch_weights,
+        # reference-exact replay re-samples augmentation on the duplicate
+        # batch, which the in-program fused replay cannot reproduce
+        fused_pairs=not args.reference_quirks,
         mesh=mesh,
     )
     trainer.fit()

@@ -78,9 +78,16 @@ class TrainLoader:
         seed: int = 42,
         num_workers: int = 8,
         max_gt: int = T.MAX_GT,
+        resample_replay: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        # reference-exact replay: the reference re-runs __getitem__ for the
+        # dg duplicate batch, RE-SAMPLING the random flip (DGcommon.py:139-151
+        # guarantees same images, not same pixels). Default (False) replays
+        # identical pixels -- the stricter behaviour; --reference_quirks
+        # flips this on for parity runs.
+        self.resample_replay = resample_replay
         self.dg = dg
         self.rng = np.random.RandomState(seed)
         self.num_workers = num_workers
@@ -110,7 +117,8 @@ class TrainLoader:
             pending = Queue()
 
             def submit(bi, batch):
-                pair = bi // 2 if self.dg else bi
+                pair = bi // 2 if (self.dg and not self.resample_replay) \
+                    else bi
                 seeds = [
                     int(self.rng_epoch_base + pair * 131071 + j) for j in range(len(batch))
                 ]
@@ -238,13 +246,14 @@ class ProcessTrainLoader:
 
     def __init__(self, dataset, batch_size: int, dg: bool, seed: int = 42,
                  num_workers: int = 8, max_gt: Optional[int] = None,
-                 n_slots: int = 4):
+                 n_slots: int = 4, resample_replay: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self._kwargs = dict(
             batch_size=batch_size, dg=dg, seed=seed,
             num_workers=num_workers,
             max_gt=T.MAX_GT if max_gt is None else max_gt,
+            resample_replay=resample_replay,
         )
         self.n_slots = n_slots
         self._proc = None

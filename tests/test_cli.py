@@ -178,3 +178,47 @@ def test_cli_main_mesh_spmd(tmp_path, monkeypatch):
     ])
     assert "map_50" in result
     assert os.path.exists(os.path.join(root, "w", "mesh.ckpt"))
+
+
+def test_cli_reference_quirks_flag(tmp_path, monkeypatch):
+    """--reference_quirks must plumb end to end: FCOS loss config gets both
+    quirk flags, the loader re-samples the dg replay, and the fused
+    pair-step optimisation is disabled (its in-program replay cannot
+    reproduce re-sampled augmentation)."""
+    captured = {}
+
+    class _StopTrainer:
+        def __init__(self, model, train_loader, val_loader, **kw):
+            captured["model"] = model
+            captured["train_loader"] = train_loader
+            captured["kw"] = kw
+            raise RuntimeError("stop-before-compile")
+
+    monkeypatch.setattr("dgod_tpu.cli.Trainer", _StopTrainer)
+    _write_csvs(str(tmp_path))
+    from dgod_tpu import cli
+
+    with pytest.raises(RuntimeError, match="stop-before-compile"):
+        cli.main([
+            "--model", "FCOS", "--exp", "dg", "--reference_quirks",
+            "--source_domains", "A", "--target_domains", "I",
+            "--data_root", str(tmp_path),
+            "--weights_folder", str(tmp_path / "w"), "--weights_file", "q",
+        ])
+    cfg = captured["model"].loss_config
+    assert cfg.single_gt_quirk and cfg.exact_reference_area
+    assert captured["train_loader"].resample_replay
+    assert captured["kw"]["fused_pairs"] is False
+
+    # default run keeps the corrected semantics and the fused pairs
+    with pytest.raises(RuntimeError, match="stop-before-compile"):
+        cli.main([
+            "--model", "FCOS", "--exp", "dg",
+            "--source_domains", "A", "--target_domains", "I",
+            "--data_root", str(tmp_path),
+            "--weights_folder", str(tmp_path / "w"), "--weights_file", "q",
+        ])
+    cfg = captured["model"].loss_config
+    assert not cfg.single_gt_quirk and not cfg.exact_reference_area
+    assert not captured["train_loader"].resample_replay
+    assert captured["kw"]["fused_pairs"] is True

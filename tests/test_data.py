@@ -244,3 +244,28 @@ def test_eval_loader_pad_to_batches():
     assert batches[2]["num_real"] == 0           # padding
     assert batches[3]["num_real"] == 0
     assert batches[2]["image"].shape == batches[0]["image"].shape
+
+
+def test_train_loader_resample_replay_quirk():
+    """--reference_quirks replay: the dg duplicate batch must contain the
+    SAME images but independently re-sampled augmentation (the reference
+    re-runs __getitem__, DGcommon.py:139-151); default replays identical
+    pixels."""
+    ds = SyntheticDataset(12, domain=0)
+
+    def pairs(resample):
+        loader = TrainLoader(ds, 4, dg=True, num_workers=2, seed=3,
+                             resample_replay=resample)
+        batches = list(loader.epoch())
+        return list(zip(batches[::2], batches[1::2]))
+
+    # default: bit-identical replay
+    for a, b in pairs(False):
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+    # quirk: same boxes-or-flipped content, at least one pair differs
+    any_diff = False
+    for a, b in pairs(True):
+        if not np.array_equal(a["image"], b["image"]):
+            any_diff = True
+    assert any_diff, "resample_replay produced identical pixels everywhere"
