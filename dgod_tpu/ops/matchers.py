@@ -226,8 +226,16 @@ def balanced_sample(
     n_pos = jnp.minimum(n_pos_avail, max_pos)
     n_neg = jnp.minimum(n_neg_avail, num_samples - n_pos)
 
-    _, pos_idx = jax.lax.top_k(pos_pri, num_samples)  # over-take, mask later
-    _, neg_idx = jax.lax.top_k(neg_pri, num_samples)
+    # over-take, mask later; quota can exceed the candidate pool (e.g. an
+    # exhaustive-sampling parity run with batch_per_image > #anchors), so
+    # cap k at R and pad the index list — `valid` masks the padding anyway
+    k = min(num_samples, R)
+    _, pos_idx = jax.lax.top_k(pos_pri, k)
+    _, neg_idx = jax.lax.top_k(neg_pri, k)
+    if k < num_samples:
+        pad = jnp.zeros((num_samples - k,), pos_idx.dtype)
+        pos_idx = jnp.concatenate([pos_idx, pad])
+        neg_idx = jnp.concatenate([neg_idx, pad])
 
     rank = jnp.arange(num_samples)
     take_pos = rank < n_pos  # first n_pos slots are positives
