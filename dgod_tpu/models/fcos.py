@@ -52,7 +52,8 @@ class FCOSHead(nn.Module):
             (
                 nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=HEAD_INIT,
                         name=f"cls_conv{i}", dtype=self.dtype),
-                nn.GroupNorm(num_groups=32, name=f"cls_gn{i}", dtype=self.dtype),
+                nn.GroupNorm(num_groups=32, epsilon=1e-5,  # torch GN eps
+                             name=f"cls_gn{i}", dtype=self.dtype),
             )
             for i in range(self.num_convs)
         ]
@@ -60,7 +61,8 @@ class FCOSHead(nn.Module):
             (
                 nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=HEAD_INIT,
                         name=f"reg_conv{i}", dtype=self.dtype),
-                nn.GroupNorm(num_groups=32, name=f"reg_gn{i}", dtype=self.dtype),
+                nn.GroupNorm(num_groups=32, epsilon=1e-5,  # torch GN eps
+                             name=f"reg_gn{i}", dtype=self.dtype),
             )
             for i in range(self.num_convs)
         ]
