@@ -276,6 +276,7 @@ class Trainer:
         t0 = time.time()
         n_images = 0
         last_metrics = {}
+        metrics = None
         for batch in device_prefetch(self.train_loader.epoch(),
                                      place=self._place_batch):
             lr_scale = self.plateau.scale
@@ -312,6 +313,10 @@ class Trainer:
                     f"loss {last_metrics.get('loss', float('nan')):.4f}"
                 )
         dt = time.time() - t0
+        if not last_metrics and metrics is not None:
+            # no step hit the log cadence this epoch: report the final
+            # step's metrics anyway (one device sync per epoch, free)
+            last_metrics = {k: float(v) for k, v in metrics.items()}
         return {"images_per_sec": n_images / max(dt, 1e-9), **last_metrics}
 
     def validate(self, loader=None) -> Dict[str, Any]:
