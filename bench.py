@@ -238,6 +238,20 @@ def main():
         ),
     }))
 
+    # MFU regression gate (round-5, VERDICT r4 #5): the FRCNN residual was
+    # declared structural after the recorded kernel A/Bs (BASELINE.md
+    # "declared floor"); a run below these floors is a REGRESSION in the
+    # compute path, not noise — fail the bench. Floors sit ~6% under the
+    # declared steady-state (0.405 / 0.584).
+    floors = {"FRCNN": 0.38, "FCOS": 0.55}
+    if jax.default_backend() == "tpu":
+        bad = {f: round(mfu[f]["mfu"], 4)
+               for f, fl in floors.items() if mfu[f]["mfu"] < fl}
+        if bad:
+            print(f"MFU REGRESSION: {bad} below floors {floors} "
+                  "(BASELINE.md declared floor)", file=sys.stderr)
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

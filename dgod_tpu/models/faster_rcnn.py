@@ -188,6 +188,19 @@ class FRCNNDetector:
         pre_n = cfg.rpn_pre_nms_train if training else cfg.rpn_pre_nms_test
         post_n = cfg.rpn_post_nms_train if training else cfg.rpn_post_nms_test
 
+        # decode+clip+NMS impl. DGOD_PROPOSAL_NMS=pallas opts into the
+        # fused VMEM kernel (ops/pallas_proposals.py, exact parity); the
+        # recorded chip A/B kept XLA as default: in isolation both run
+        # <1 ms at production shapes, and in the full generate_proposals
+        # context the kernel LOSES (7.53 vs 5.98 ms/step, round-5 A/B,
+        # scripts/check_pallas_proposals_tpu.py + BASELINE.md) — the
+        # remaining cost here is the 185k-anchor top_k (1.66 ms; approx_max_k
+        # saves only 0.5 ms and breaks reference-exactness) plus many small
+        # serial gathers/selects, not the NMS math.
+        import os as _os
+
+        impl = _os.environ.get("DGOD_PROPOSAL_NMS", "xla").lower()
+
         level_boxes, level_scores, level_valid = [], [], []
         start = 0
         for lvl, count in enumerate(self.anchor_counts):
@@ -197,16 +210,29 @@ class FRCNNDetector:
             dl = jax.lax.stop_gradient(deltas[lvl])  # no grad through proposals
             k = min(pre_n, count)
 
-            def per_image(obj_i, dl_i, size_i):
-                top_scores, top_idx = jax.lax.top_k(obj_i, k)
-                boxes = box_ops.delta_decode(dl_i[top_idx], anc[top_idx])
-                boxes = box_ops.clip_boxes(boxes, size_i[0], size_i[1])
-                ok = box_ops.small_box_mask(boxes, 1e-3)
-                keep = nms_ops.nms_mask_blocked(
-                    boxes, top_scores, ok, cfg.rpn_nms_thresh)
-                return boxes, jnp.where(keep, top_scores, -jnp.inf), keep
+            if impl == "pallas":
+                from ..ops import pallas_proposals
 
-            b, s, v = jax.vmap(per_image)(obj, dl, image_sizes)
+                top_scores, top_idx = jax.vmap(
+                    lambda o: jax.lax.top_k(o, k))(obj)
+                dl_top = jnp.take_along_axis(dl, top_idx[..., None], axis=1)
+                anc_top = anc[top_idx]  # [B, k, 4]
+                b, keep = pallas_proposals.fused_decode_nms(
+                    dl_top, anc_top, top_scores, image_sizes,
+                    iou_threshold=cfg.rpn_nms_thresh)
+                s = jnp.where(keep, top_scores, -jnp.inf)
+                v = keep
+            else:
+                def per_image(obj_i, dl_i, size_i):
+                    top_scores, top_idx = jax.lax.top_k(obj_i, k)
+                    boxes = box_ops.delta_decode(dl_i[top_idx], anc[top_idx])
+                    boxes = box_ops.clip_boxes(boxes, size_i[0], size_i[1])
+                    ok = box_ops.small_box_mask(boxes, 1e-3)
+                    keep = nms_ops.nms_mask_blocked(
+                        boxes, top_scores, ok, cfg.rpn_nms_thresh)
+                    return boxes, jnp.where(keep, top_scores, -jnp.inf), keep
+
+                b, s, v = jax.vmap(per_image)(obj, dl, image_sizes)
             level_boxes.append(b)
             level_scores.append(s)
             level_valid.append(v)

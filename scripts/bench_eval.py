@@ -88,14 +88,20 @@ def bench_family(family):
     batches = [jax.device_put(make_batch(b, seed=s)) for s in range(4)]
     loader = [batches[i % 4] for i in range(n_batches)]
 
-    class _T:  # minimal shim with the two attrs validate() uses
+    import types
+
+    class _T:  # minimal shim with the attrs validate() uses
         pass
 
     shim = _T()
     shim.params = params
     shim.eval_step = eval_step
     shim.val_loader = loader
-    shim._metric_update = Trainer._metric_update
+    shim.mesh = None
+    shim._place_batch = jax.device_put
+    shim._mesh_ctx = types.MethodType(Trainer._mesh_ctx, shim)
+    shim._metric_update = types.MethodType(Trainer._metric_update, shim)
+    shim._local_rows = Trainer._local_rows
     Trainer.validate(shim)  # warm
     t0 = time.perf_counter()
     Trainer.validate(shim)
@@ -105,6 +111,104 @@ def bench_family(family):
     print(f"{family} pipelined eval sweep (batch {b}, {n_batches} batches, "
           f"incl. host mAP matching): {ips:.1f} img/s")
     return out
+
+
+def stage_profile(family, b=8):
+    """Per-stage attribution of the batch-`b` eval step (VERDICT r4 #6):
+    successive-prefix jits, each reduced to one scalar on-device, timed
+    tunnel-safely; stage cost = delta between consecutive prefixes. Also
+    times the host device_get of the detection tree (the only non-jit part
+    of Trainer.validate's per-batch work besides numpy mAP matching)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgod_tpu.utils.timing import calibrate_roundtrip, time_scalar_fn
+
+    if family == "FCOS":
+        from dgod_tpu.models.dg_fcos import DGFCOSModel as Model
+    else:
+        from dgod_tpu.models.dg_frcnn import DGFRCNNModel as Model
+
+    model = Model(num_classes=9, num_domains=3, canvas=CANVAS)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = jax.device_put(make_batch(b))
+    rt = calibrate_roundtrip()
+
+    def tree_sum(x):
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(x))
+
+    if family == "FRCNN":
+        det = model.detector
+
+        def s_feats(p, bt):
+            feats, _ = det.features(p["detector"], model.normalize(bt["image"]))
+            return tree_sum(feats)
+
+        def s_rpn(p, bt):
+            feats, _ = det.features(p["detector"], model.normalize(bt["image"]))
+            obj, dl = det.rpn_forward(p["detector"], feats)
+            return tree_sum(obj) + tree_sum(dl)
+
+        def s_props(p, bt):
+            feats, _ = det.features(p["detector"], model.normalize(bt["image"]))
+            obj, dl = det.rpn_forward(p["detector"], feats)
+            props, pv, _ = det.generate_proposals(
+                obj, dl, bt["image_size"], training=False)
+            return jnp.sum(props) + jnp.sum(pv)
+
+        def s_roi(p, bt):
+            feats, _ = det.features(p["detector"], model.normalize(bt["image"]))
+            obj, dl = det.rpn_forward(p["detector"], feats)
+            props, pv, _ = det.generate_proposals(
+                obj, dl, bt["image_size"], training=False)
+            bf = det.box_features(p["detector"], feats, props)
+            return tree_sum(bf)
+
+        def s_pred(p, bt):
+            feats, _ = det.features(p["detector"], model.normalize(bt["image"]))
+            obj, dl = det.rpn_forward(p["detector"], feats)
+            props, pv, _ = det.generate_proposals(
+                obj, dl, bt["image_size"], training=False)
+            bf = det.box_features(p["detector"], feats, props)
+            logits, regs = det.box_predictions(p["detector"], bf)
+            return tree_sum(logits) + tree_sum(regs)
+
+        stages = [("backbone+FPN", s_feats), ("+rpn heads", s_rpn),
+                  ("+proposal decode/NMS", s_props), ("+RoIAlign", s_roi),
+                  ("+box head", s_pred)]
+    else:
+        def s_fwd(p, bt):
+            outputs, _ = model.forward(p, bt["image"])
+            return tree_sum(outputs)
+
+        stages = [("backbone+FPN+heads", s_fwd)]
+
+    def s_full(p, bt):
+        return jnp.sum(model.predict(p, bt)["scores"])
+
+    stages.append(("+postprocess (full predict)", s_full))
+
+    prev = 0.0
+    print(f"--- {family} eval stage profile, batch {b} ({CANVAS}) ---")
+    for name, fn in stages:
+        ms = time_scalar_fn(jax.jit(fn), params, batch, n=N_TIMED,
+                            roundtrip_ms=rt)
+        print(f"{name:28s} cum {ms:7.2f} ms  stage {ms - prev:7.2f} ms "
+              f"({(ms - prev) / b:5.2f} ms/img)")
+        prev = ms
+
+    # host transfer of the detection tree (per batch)
+    eval_step = jax.jit(model.predict)
+    dets = eval_step(params, batch)
+    jax.device_get({k: dets[k] for k in ("boxes", "scores", "labels", "valid")})
+    t0 = time.perf_counter()
+    for _ in range(N_TIMED):
+        dets = eval_step(params, batch)
+        jax.device_get(
+            {k: dets[k] for k in ("boxes", "scores", "labels", "valid")})
+    full_ms = (time.perf_counter() - t0) / N_TIMED * 1e3
+    print(f"{'full + device_get':28s} cum {full_ms:7.2f} ms  "
+          f"transfer+sync {full_ms - prev:7.2f} ms")
 
 
 def main():
@@ -130,10 +234,16 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    kind = sys.argv[1] if len(sys.argv) > 1 else "both"
+    args = sys.argv[1:]
+    do_stages = "stages" in args
+    args = [a for a in args if a != "stages"]
+    kind = args[0] if args else "both"
     fams = ("FCOS", "FRCNN") if kind == "both" else (kind,)
     for fam in fams:
-        bench_family(fam)
+        if do_stages:
+            stage_profile(fam)
+        else:
+            bench_family(fam)
 
 
 if __name__ == "__main__":
