@@ -164,6 +164,74 @@ def worker(process_id: int, coordinator: str) -> None:
     print(f"worker {process_id}: process_allgather ok "
           f"{gathered[:, 0].astype(int).tolist()}", flush=True)
 
+    # ---- the PRODUCTION harness across processes (round 5) --------------
+    # Trainer(mesh=global) with per-host input shards: train_epoch (fused
+    # DG pairs, global-array batches), validate() with UNEQUAL per-host
+    # eval shards (3 vs 2 images -> dummy-batch padding equalises the SPMD
+    # program count) + the cross-host process_allgather metric, and the
+    # process-0 checkpoint gate. Each worker gets a DIFFERENT ckpt path
+    # (simulating per-host local disks): only worker 0's file may appear.
+    import tempfile
+
+    from dgod_tpu.data import transforms as T
+
+    T.CANVAS = (32, 64)
+    T.TRAIN_SIZE = (32, 64)
+    T.MIN_SIZE = 32
+    T.MAX_SIZE = 64
+    T.MIN_AREA = 1.0
+
+    from dgod_tpu.data.dataset import ConcatDataset, Subset
+    from dgod_tpu.data.loader import EvalLoader, TrainLoader
+    from dgod_tpu.train.harness import Trainer
+
+    class _PlantedBox:
+        def __init__(self, n, domain, seed=0):
+            r = np.random.RandomState(seed * 13 + domain)
+            self.images = [r.randint(0, 255, (32, 64, 3), np.uint8)
+                           for _ in range(n)]
+            self.domain = domain
+
+        def __len__(self):
+            return len(self.images)
+
+        def __getitem__(self, i):
+            return (self.images[i].copy(),
+                    np.array([[6.0, 6.0, 30.0, 26.0]], np.float32),
+                    np.array([1], np.int32), self.domain)
+
+    train_full = ConcatDataset([_PlantedBox(4, 0), _PlantedBox(4, 1)])
+    val_full = _PlantedBox(5, 0, seed=7)
+    tr_lo, tr_hi = multihost.host_shard_range(len(train_full), even=True)
+    vl_lo, vl_hi = multihost.host_shard_range(len(val_full))
+    eval_b = 2
+    per_max = -(-len(val_full) // N_PROC)
+    pad_batches = -(-per_max // eval_b)
+
+    tmpdir = tempfile.mkdtemp(prefix=f"dgod_mp_w{process_id}_")
+    ckpt = os.path.join(tmpdir, "m.ckpt")
+    model2 = DGFCOSModel(num_classes=9, num_domains=2, canvas=(32, 64),
+                         backbone_block_counts=(1, 1, 1, 1))
+    trainer = Trainer(
+        model2,
+        TrainLoader(Subset(train_full, tr_lo, tr_hi), 2, dg=True,
+                    num_workers=2, max_gt=8),
+        EvalLoader(Subset(val_full, vl_lo, vl_hi), eval_b, True,
+                   num_workers=2, max_gt=8, pad_to_batches=pad_batches),
+        dg=True, max_epochs=0, ckpt_path=ckpt, log_every=1, mesh=mesh,
+    )
+    assert trainer.fused_pairs
+    stats = trainer.train_epoch()
+    assert trainer.global_step == 4, trainer.global_step  # 2 fused pairs
+    val = trainer.validate()
+    trainer._save_checkpoint(0, float(val["map_50"]))
+    wrote = os.path.exists(ckpt)
+    assert wrote == (process_id == 0), (
+        f"ckpt gate broken: worker {process_id} wrote={wrote}")
+    print(f"worker {process_id}: harness epoch loss {stats['loss']:.6f} "
+          f"val mAP@0.5 {val['map_50']:.6f} ckpt_written={wrote}",
+          flush=True)
+
 
 def _attempt(coordinator: str):
     env = dict(os.environ)
@@ -199,17 +267,35 @@ def _attempt(coordinator: str):
         return 1
 
     losses = []
-    for out in outs:
+    harness = []
+    for i, out in enumerate(outs):
         m = re.search(r"pair\(0\+4\) losses ([\d.]+)/([\d.]+)", out)
         if not m:
             print("FAIL: missing loss line")
             return 1
         losses.append((float(m.group(1)), float(m.group(2))))
+        h = re.search(r"harness epoch loss ([\d.]+) val mAP@0.5 ([\d.]+) "
+                      r"ckpt_written=(\w+)", out)
+        if not h:
+            print("FAIL: missing harness line")
+            return 1
+        harness.append((float(h.group(1)), float(h.group(2)), h.group(3)))
     if losses[0] != losses[1]:
         print(f"FAIL: cross-process loss mismatch {losses}")
         return 1
+    # the SPMD epoch loss and the allgathered val mAP must be identical on
+    # every host (identical plateau/early-stop decisions); the single-file
+    # checkpoint must come from process 0 only
+    if harness[0][:2] != harness[1][:2]:
+        print(f"FAIL: cross-process harness mismatch {harness}")
+        return 1
+    if [h[2] for h in harness] != ["True", "False"]:
+        print(f"FAIL: checkpoint gate broken {harness}")
+        return 1
     print(f"PASS: 2-process jax.distributed DG pair step, losses agree "
-          f"{losses[0][0]:.6f}/{losses[0][1]:.6f}")
+          f"{losses[0][0]:.6f}/{losses[0][1]:.6f}; harness epoch + "
+          f"validate agree (mAP {harness[0][1]:.4f}), ckpt on process 0 "
+          "only")
     return 0
 
 
