@@ -296,10 +296,15 @@ def test_trainer_mesh_dp_matches_single_device(tmp_path, micro_canvas):
 
     flat_s = jax.tree_util.tree_leaves_with_path(t_single.params)
     flat_m = jax.tree_util.tree_leaves_with_path(t_mesh.params)
+    # Adam's early-step update is ~lr*sign(m/sqrt(v)): noise-level grad
+    # differences between the sharded and unsharded layouts get amplified
+    # to O(lr)=1e-4 on isolated elements over the 8 updates, so atol must
+    # sit above that floor (same rationale as test_spmd_pair_step); the
+    # tight loss checks above are the structural assertion
     for (pa, a), (pb, b) in zip(flat_s, flat_m):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=1e-4, err_msg=str(pa))
+                                   rtol=5e-3, atol=3e-4, err_msg=str(pa))
 
     # validation through the mesh path must give the identical mAP
     r_s = t_single.validate()
