@@ -63,6 +63,37 @@ def _parse_tile(env_name: str, default: "tuple[int, int]"):
 
 
 TH, TW = _parse_tile("DGOD_ROI_TILE", (16, 32))
+
+
+def _parse_ring(env_name: str, default: "tuple[int, int]"):
+    """Deep-backward ring config 'SLOTSxLEAD'. SLOTS VMEM window buffers,
+    reads issued LEAD chain-tiles ahead of the consuming body. SLOTS >
+    LEAD so a slot's previous write has (SLOTS - LEAD) body-times to
+    drain before the slot is re-read — the 2-slot kernel's per-body
+    write-drain stall is the latency this removes."""
+    s = os.environ.get(env_name, "")
+    if not s:
+        return default
+    slots, lead = (int(v) for v in s.lower().split("x"))
+    assert slots > lead >= 1, (env_name, s)
+    return slots, lead
+
+
+DEEP_SLOTS, DEEP_LEAD = _parse_ring("DGOD_ROI_BWD_RING", (6, 3))
+# deep-pipelined backward (issue-pointer ring), default ON after the
+# recorded chip A/B (2026-08-20, check_pallas_roi_tpu.py, B=8 N=512
+# bwd-only, back-to-back in one process): 2-slot 31.97 ms -> deep 6x3
+# ring 12.78 ms (2.50x), parity exact to the 2-slot kernel's rel err.
+DEEP_BWD = bool(int(os.environ.get("DGOD_ROI_BWD_DEEP", "1")))
+
+FWD_SLOTS, FWD_LEAD = _parse_ring("DGOD_ROI_FWD_RING", (4, 3))
+# deep-pipelined forward ring (reads only, so slots need only exceed lead
+# by one: the slot's previous occupant was consumed by an earlier body
+# than any eager issue of its reuser), default ON after the recorded chip
+# A/B (2026-08-20, check_pallas_roi_tpu.py, B=8 N=512 fwd-only,
+# back-to-back): 2-slot 8.72 ms -> deep 4x3 ring 5.48 ms (1.59x), parity
+# exact.
+DEEP_FWD = bool(int(os.environ.get("DGOD_ROI_FWD_DEEP", "1")))
 # NOTE: a dual window-class variant ("split" kernels: small [16,16]-ish
 # windows for RoIs whose sample span fits, full tile otherwise) was built
 # and measured on-chip in round 3 — its predicted HBM-traffic win did not
@@ -82,11 +113,11 @@ _FORCE_SERIAL_BWD = bool(int(os.environ.get(
 
 def _level_meta(rois, strides, sizes, padded, n_levels, b_idx=None,
                 canonical_scale=224.0, canonical_level=4):
-    """Vectorised per-RoI metadata (XLA side). rois [R,4] -> [13,R]/[4,R].
+    """Vectorised per-RoI metadata (XLA side). rois [R,4] -> [14,R]/[4,R].
 
-    Rows 0-9 feed both kernels (level, window origins/counts, slot chain,
-    level sizes); rows 10-12 (safe_next, alias_intra, image index) schedule
-    the backward's pipelined read-modify-write."""
+    Rows 0-9 feed all kernels (level, window origins/counts, chain base,
+    level sizes); rows 10-13 (safe_next, alias_intra, image index,
+    deep_safe) schedule the backward's pipelined read-modify-write."""
     area = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 0.0)
     k = jnp.floor(
         canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6)
@@ -130,8 +161,10 @@ def _level_meta(rois, strides, sizes, padded, n_levels, b_idx=None,
     x0, n_tx = axis_window(x1, bin_w, ws, wps, TW, align=8)
     th, tw = TH, TW
     n_t = n_ty * n_tx
-    # DMA slot of each RoI's first tile under global 2-slot round-robin
-    slot0 = (jnp.cumsum(n_t) - n_t) % 2
+    # absolute chain index of each RoI's first tile; every kernel derives
+    # its DMA slot as (base + t) % n_slots, and the deep backward also
+    # needs the absolute position for its issue-pointer lookahead bound
+    base = jnp.cumsum(n_t) - n_t
 
     if b_idx is None:
         b_idx = jnp.zeros((rois.shape[0],), jnp.int32)
@@ -156,16 +189,35 @@ def _level_meta(rois, strides, sizes, padded, n_levels, b_idx=None,
         ((n_ty > 1) & (y0 + (n_ty - 1) * th > hps - th))
         | ((n_tx > 1) & (x0 + (n_tx - 1) * tw > wps - tw))
     ).astype(jnp.int32)
+    # deep-backward per-RoI safety (row 13): the issue-pointer ring may
+    # issue this RoI's reads up to DEEP_LEAD chain-tiles early iff its
+    # window rect cannot alias any of the previous DEEP_SLOTS-1 RoIs'
+    # rects (the writes that may still be in flight at read time) and its
+    # own tiles were not edge-clamp folded. The production caller
+    # interleaves RoIs across images, so with B >= DEEP_SLOTS this is
+    # almost always true; unsafe RoIs serialize exactly (full drain).
+    n_r = rois.shape[0]
+    ovl_any = jnp.zeros((n_r,), bool)
+    for kk in range(1, DEEP_SLOTS):
+        o = (
+            (b_idx[:-kk] == b_idx[kk:]) & (lvl[:-kk] == lvl[kk:])
+            & (rows_lo[:-kk] < rows_hi[kk:]) & (rows_lo[kk:] < rows_hi[:-kk])
+            & (cols_lo[:-kk] < cols_hi[kk:]) & (cols_lo[kk:] < cols_hi[:-kk])
+        )
+        ovl_any = ovl_any.at[kk:].set(ovl_any[kk:] | o)
+    deep_safe = ((~ovl_any) & (alias_intra == 0)).astype(jnp.int32)
+
     if _FORCE_SERIAL_BWD:
         safe = jnp.zeros_like(safe)
         alias_intra = jnp.ones_like(alias_intra)
+        deep_safe = jnp.zeros_like(deep_safe)
 
     # stacked [field, R]: SMEM pads the minor dim to 128 lanes, so the
     # minor dim must be R (typically a multiple of 128), not the field count
     meta_i = jnp.stack(
-        [lvl, y0, x0, n_tx, n_t, slot0, hs, ws, hps, wps,
-         safe, alias_intra, b_idx], axis=0
-    ).astype(jnp.int32)  # [13, R]
+        [lvl, y0, x0, n_tx, n_t, base, hs, ws, hps, wps,
+         safe, alias_intra, b_idx, deep_safe], axis=0
+    ).astype(jnp.int32)  # [14, R]
     meta_f = jnp.stack([y1, x1, bin_h, bin_w], axis=0)  # [4, R]
     return meta_i, meta_f
 
@@ -302,6 +354,110 @@ def _fwd_kernel(n_levels, n_rois, mi, mf, *args):
 
         ty, tx, y_orig, x_orig = tile_origin(i, t)
         w2 = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig)
+        fwin = win[slot].astype(jnp.float32).reshape(TH * TW, -1)
+        out_ref[0] += jax.lax.dot(
+            w2, fwin,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+
+
+def _fwd_kernel_deep(n_levels, n_rois, slots, lead, mi, mf, *args):
+    """Deep-pipelined forward: issue-pointer ring over `slots` VMEM
+    windows, reads issued `lead` chain-tiles ahead (the 2-slot kernel
+    runs one ahead, so each body eats most of a DMA round trip when the
+    per-tile compute is shorter than the read latency). Reads only — no
+    write-drain or aliasing concerns; the issue pointer lives in SMEM
+    scratch, which persists across the serial grid."""
+    level_refs = args[:n_levels]
+    out_ref = args[n_levels]
+    win = args[n_levels + 1]
+    sems = args[n_levels + 2]
+    st = args[n_levels + 3]  # SMEM [4] i32: issued chain / roi / tile
+
+    i = pl.program_id(0)
+    nchains = mi[5, pl.num_programs(0) - 1] + mi[4, pl.num_programs(0) - 1]
+
+    def tile_origin(roi, t):
+        n_tx = mi[3, roi]
+        ty = t // n_tx
+        tx = t % n_tx
+        y_orig = jnp.minimum(mi[1, roi] + ty * TH, mi[8, roi] - TH)
+        x_orig = pl.multiple_of(
+            jnp.minimum(mi[2, roi] + tx * TW, mi[9, roi] - TW), 8
+        )
+        return ty, tx, y_orig, x_orig
+
+    def dma(roi, t, slot):
+        lvl = mi[0, roi]
+        b = roi // n_rois
+        _, _, y_orig, x_orig = tile_origin(roi, t)
+        copies = [
+            pltpu.make_async_copy(
+                ref.at[b, pl.ds(y_orig, TH), pl.ds(x_orig, TW), :],
+                win.at[slot],
+                sems.at[slot],
+            )
+            for ref in level_refs
+        ]
+        return lvl, copies
+
+    def start(roi, t, slot):
+        lvl, copies = dma(roi, t, slot)
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.start()
+
+    def wait(roi, t, slot):
+        lvl, copies = dma(roi, t, slot)
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.wait()
+
+    def advance(roi, tile):
+        last = tile + 1 >= mi[4, roi]
+        return (jnp.where(last, roi + 1, roi),
+                jnp.where(last, 0, tile + 1))
+
+    def issue_next():
+        x = st[0]
+        start(st[1], st[2], x % slots)
+        r2, t2 = advance(st[1], st[2])
+        st[0] = x + 1
+        st[1] = r2
+        st[2] = t2
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(4):
+            st[k] = 0
+
+    base_i = mi[5, i]
+    n_t = mi[4, i]
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    def body(t, _):
+        g = base_i + t
+
+        @pl.when(st[0] == g)
+        def _():
+            issue_next()
+
+        wait(i, t, g % slots)
+
+        for _k in range(lead):
+            @pl.when((st[0] <= g + lead) & (st[0] < nchains))
+            def _():
+                issue_next()
+
+        ty, tx, y_orig, x_orig = tile_origin(i, t)
+        w2 = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig)
+        slot = g % slots
         fwin = win[slot].astype(jnp.float32).reshape(TH * TW, -1)
         out_ref[0] += jax.lax.dot(
             w2, fwin,
@@ -463,6 +619,186 @@ def _bwd_kernel(n_levels, n_rois, mi, mf, g_ref, *args):
     gout[0] = jnp.zeros_like(gout[0])
 
 
+def _bwd_kernel_deep(n_levels, n_rois, slots, lead, mi, mf, g_ref, *args):
+    """Deep-pipelined RMW scatter: issue-pointer ring over `slots` VMEM
+    windows, reads issued `lead` chain-tiles ahead of the consuming body.
+
+    The 2-slot kernel (_bwd_kernel) drains the PREVIOUS tile's write at
+    the top of every body — a write issued one body earlier, so each body
+    stalls ~one DMA round trip (the latency-bound regime ROUND3.md
+    measured). Here a slot's write is drained only when the slot is
+    reused, (slots - lead) bodies later, and reads run `lead` bodies
+    ahead; with slots = 2*lead both latencies amortize over `lead` body
+    times. Scheduling state (issue / drain chain pointers) lives in SMEM
+    scratch, which persists across the serial grid.
+
+    Safety: a read issued early may overtake up to slots-1 preceding
+    windows' writes, so it is only issued early when its RoI's window
+    rect cannot alias any of its slots-1 predecessors (mi row 13,
+    precomputed; the caller's cross-image interleave makes this the
+    common case). Unsafe RoIs drain ALL outstanding writes before each
+    read — exact serialization, same as the 2-slot unsafe path."""
+    # args: [grad_in x n_levels] [grad_out x n_levels] [gout] [win]
+    # [rsem] [wsem] [st]
+    grad_refs = args[n_levels : 2 * n_levels]
+    gout = args[2 * n_levels]
+    win = args[2 * n_levels + 1]
+    rsem = args[2 * n_levels + 2]
+    wsem = args[2 * n_levels + 3]
+    st = args[2 * n_levels + 4]  # SMEM [8] i32: issued chain/roi/tile,
+    #                              drained chain/roi/tile, -, -
+
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    nchains = mi[5, nsteps - 1] + mi[4, nsteps - 1]
+
+    def tile_origin(roi, t):
+        n_tx = mi[3, roi]
+        ty = t // n_tx
+        tx = t % n_tx
+        y_orig = jnp.minimum(mi[1, roi] + ty * TH, mi[8, roi] - TH)
+        x_orig = pl.multiple_of(
+            jnp.minimum(mi[2, roi] + tx * TW, mi[9, roi] - TW), 8
+        )
+        return ty, tx, y_orig, x_orig
+
+    def dma(roi, t, slot, to_hbm):
+        lvl = mi[0, roi]
+        b = mi[12, roi]
+        _, _, y_orig, x_orig = tile_origin(roi, t)
+        copies = []
+        for ref in grad_refs:
+            window = ref.at[b, pl.ds(y_orig, TH), pl.ds(x_orig, TW), :]
+            if to_hbm:
+                copies.append(
+                    pltpu.make_async_copy(win.at[slot], window, wsem.at[slot])
+                )
+            else:
+                copies.append(
+                    pltpu.make_async_copy(window, win.at[slot], rsem.at[slot])
+                )
+        return lvl, copies
+
+    def start(roi, t, slot, to_hbm):
+        lvl, copies = dma(roi, t, slot, to_hbm)
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.start()
+
+    def wait(roi, t, slot, to_hbm):
+        lvl, copies = dma(roi, t, slot, to_hbm)
+        for li, cp in enumerate(copies):
+            @pl.when(lvl == li)
+            def _():
+                cp.wait()
+
+    def advance(roi, tile):
+        last = tile + 1 >= mi[4, roi]
+        return (jnp.where(last, roi + 1, roi),
+                jnp.where(last, 0, tile + 1))
+
+    def drain_to(target):
+        """Wait every un-drained write with chain index < target."""
+        def cond(c):
+            return c[0] < target
+
+        def body_fn(c):
+            ch, r, t = c
+            wait(r, t, ch % slots, True)
+            r2, t2 = advance(r, t)
+            return (ch + 1, r2, t2)
+
+        ch, r, t = jax.lax.while_loop(
+            cond, body_fn, (st[3], st[4], st[5])
+        )
+        st[3] = ch
+        st[4] = r
+        st[5] = t
+
+    def issue_next():
+        """Issue the read for chain tile st[0] (slot st[0] % slots),
+        draining exactly enough writes first."""
+        x = st[0]
+        r = st[1]
+        t = st[2]
+        safe = mi[13, r] > 0
+
+        @pl.when(safe)
+        def _():
+            # only the slot's previous occupant must have drained
+            drain_to(x - (slots - 1))
+
+        @pl.when(~safe)
+        def _():
+            # read may alias an outstanding write: drain them all (writes
+            # < x have all been started — x's own body has not run yet)
+            drain_to(x)
+
+        start(r, t, x % slots, False)
+        r2, t2 = advance(r, t)
+        st[0] = x + 1
+        st[1] = r2
+        st[2] = t2
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(6):
+            st[k] = 0
+
+    base_i = mi[5, i]
+    n_t = mi[4, i]
+    g_l = g_ref[0]  # [56, C] f32
+
+    def body(t, _):
+        g = base_i + t
+
+        # serialized RoIs reach here with their read not yet issued
+        @pl.when(st[0] == g)
+        def _():
+            issue_next()
+
+        wait(i, t, g % slots, False)
+
+        # run the issue pointer ahead — one issue per body in steady
+        # state, up to `lead` after a serialized stretch
+        for _k in range(lead):
+            @pl.when(
+                (st[0] <= g + lead) & (st[0] < nchains)
+                & (mi[13, jnp.minimum(st[1], nsteps - 1)] > 0)
+            )
+            def _():
+                issue_next()
+
+        ty, tx, y_orig, x_orig = tile_origin(i, t)
+        w2t = _build_w2(mi, mf, i, ty, tx, y_orig, x_orig, transpose=True)
+        upd = jax.lax.dot(
+            w2t, g_l,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TH*TW, C]
+        slot = g % slots
+        new_w = win[slot] + upd.reshape(TH, TW, -1)
+        for s in range(slots):
+            @pl.when(slot == s)
+            def _(s=s):
+                win[s] = new_w
+
+        start(i, t, slot, True)
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+
+    # every outstanding write must drain before the kernel retires
+    @pl.when(i + 1 >= nsteps)
+    def _():
+        drain_to(nchains)
+
+    # dummy tiny output so the kernel has a pipelined result (the real
+    # output is written in place via input_output_aliases)
+    gout[0] = jnp.zeros_like(gout[0])
+
+
 def _padded_size(h, w):
     # width padded to a multiple of 8 so every window origin/clamp along W
     # stays 8-aligned (Mosaic sublane tiling); both dims at least one tile
@@ -481,23 +817,26 @@ def _pad_levels(feats, sizes):
     return padded, shapes
 
 
-# scalar-prefetch metadata lives in SMEM (~1 MB): mi [13,R] i32 + mf [4,R]
-# f32 is 68 B/RoI, so cap the per-call RoI count and chunk above it
+# scalar-prefetch metadata lives in SMEM (~1 MB): mi [14,R] i32 + mf [4,R]
+# f32 is 72 B/RoI, so cap the per-call RoI count and chunk above it
 # (train path: 8x512 = 4096; eval: 8x1000 = 8000 — both single-chunk)
 MAX_ROIS_PER_CALL = 8192
 
 
 @functools.partial(
-    jax.jit, static_argnames=("strides", "interpret"))
-def _roi_align_fwd(feats, rois, strides, interpret=False):
+    jax.jit, static_argnames=("strides", "interpret", "deep"))
+def _roi_align_fwd(feats, rois, strides, interpret=False, deep=None):
     """feats: tuple of [B,H,W,C] (finest first); rois [B,N,4] ->
     pooled [B,N,7,7,C] f32."""
+    if deep is None:
+        deep = DEEP_FWD
     n_levels = len(feats)
     B, N = rois.shape[:2]
     if B * N > MAX_ROIS_PER_CALL:
         nc = max(1, MAX_ROIS_PER_CALL // B)
         parts = [
-            _roi_align_fwd(feats, rois[:, s : s + nc], strides, interpret)
+            _roi_align_fwd(feats, rois[:, s : s + nc], strides, interpret,
+                           deep)
             for s in range(0, N, nc)
         ]
         return jnp.concatenate(parts, axis=1)
@@ -508,8 +847,17 @@ def _roi_align_fwd(feats, rois, strides, interpret=False):
     flat = rois.reshape(B * N, 4)
     mi, mf = _level_meta(flat, strides, sizes, psizes, n_levels)
 
-    scratch = [pltpu.VMEM((2, TH, TW, C), feats[0].dtype),
-               pltpu.SemaphoreType.DMA((2,))]
+    if deep:
+        kernel = functools.partial(
+            _fwd_kernel_deep, n_levels, N, FWD_SLOTS, FWD_LEAD
+        )
+        scratch = [pltpu.VMEM((FWD_SLOTS, TH, TW, C), feats[0].dtype),
+                   pltpu.SemaphoreType.DMA((FWD_SLOTS,)),
+                   pltpu.SMEM((4,), jnp.int32)]
+    else:
+        kernel = functools.partial(_fwd_kernel, n_levels, N)
+        scratch = [pltpu.VMEM((2, TH, TW, C), feats[0].dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B * N,),
@@ -520,7 +868,7 @@ def _roi_align_fwd(feats, rois, strides, interpret=False):
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_levels, N),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B * N, 56, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -532,9 +880,11 @@ def _roi_align_fwd(feats, rois, strides, interpret=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("strides", "interpret"))
-def _roi_align_bwd(feats, rois, g, strides, interpret=False):
+    jax.jit, static_argnames=("strides", "interpret", "deep"))
+def _roi_align_bwd(feats, rois, g, strides, interpret=False, deep=None):
     """g [B,N,7,7,C] f32 -> per-level grads matching feats shapes/dtypes."""
+    if deep is None:
+        deep = DEEP_BWD
     n_levels = len(feats)
     B, N = rois.shape[:2]
     if B * N > MAX_ROIS_PER_CALL:
@@ -543,7 +893,7 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False):
         for s in range(0, N, nc):
             part = _roi_align_bwd(
                 feats, rois[:, s : s + nc], g[:, s : s + nc], strides,
-                interpret,
+                interpret, deep,
             )
             total = part if total is None else tuple(
                 a + b for a, b in zip(total, part)
@@ -571,6 +921,24 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False):
         jnp.zeros((B, hp, wp, C), jnp.float32) for hp, wp in psizes
     ]
 
+    if deep:
+        n_slots = DEEP_SLOTS
+        kernel = functools.partial(
+            _bwd_kernel_deep, n_levels, N, DEEP_SLOTS, DEEP_LEAD
+        )
+        scratch = [
+            pltpu.VMEM((n_slots, TH, TW, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SMEM((8,), jnp.int32),
+        ]
+    else:
+        kernel = functools.partial(_bwd_kernel, n_levels, N)
+        scratch = [
+            pltpu.VMEM((2, TH, TW, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B * N,),
@@ -586,14 +954,10 @@ def _roi_align_bwd(feats, rois, g, strides, interpret=False):
                 (1, 8, 128), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM
             )
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, TH, TW, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_levels, N),
+        kernel,
         out_shape=[
             jax.ShapeDtypeStruct((B, hp, wp, C), jnp.float32)
             for hp, wp in psizes

@@ -134,10 +134,64 @@ def main():
         return time_scalar_fn(step, featsp, roisp, gp, n=10,
                               roundtrip_ms=rt)
 
-    from dgod_tpu.ops.pallas_roi_align import TH, TW
+    from dgod_tpu.ops.pallas_roi_align import (
+        DEEP_LEAD, DEEP_SLOTS, FWD_LEAD, FWD_SLOTS, TH, TW,
+        _roi_align_bwd, _roi_align_fwd)
 
     t_base = timed()
     print(f"fwd+bwd at B={Bp} N={Np} [tile {TH}x{TW}]: {t_base:.2f} ms")
+
+    # deep-ring backward parity on the compiled (non-interpret) path,
+    # against the XLA vjp on the adversarial overlap set from above
+    dgot_deep = _roi_align_bwd(feats, rois, g, STRIDES, False, True)
+    for lvl, (a, b) in enumerate(zip(dref, dgot_deep)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        s = np.abs(a).max() + 1e-9
+        e = np.abs(a - b).max() / s
+        print(f"deep bwd lvl{lvl} rel err: {e:.2e}")
+        assert e < 1e-5, f"deep bwd mismatch lvl{lvl}"
+
+    # bwd-only A/B: 2-slot ring vs deep issue-pointer ring
+    gp32 = gp.astype(jnp.float32)
+
+    def timed_bwd(deep):
+        @jax.jit
+        def step(fs, r, gg):
+            grads = _roi_align_bwd(fs, r, gg, STRIDES, False, deep)
+            return sum(x.astype(jnp.float32).sum() for x in grads)
+
+        return time_scalar_fn(step, featsp, roisp, gp32, n=10,
+                              roundtrip_ms=rt)
+
+    t_b2 = timed_bwd(False)
+    t_bdeep = timed_bwd(True)
+    print(f"bwd-only 2-slot: {t_b2:.2f} ms | deep ring "
+          f"{DEEP_SLOTS}x{DEEP_LEAD}: {t_bdeep:.2f} ms "
+          f"({t_b2 / max(t_bdeep, 1e-9):.2f}x)")
+
+    # fwd-only A/B + parity for the forward ring
+    got_deep = np.asarray(
+        _roi_align_fwd(feats_bf16, rois, STRIDES, False, True), np.float32
+    )
+    scale = np.abs(ref16).max() + 1e-9
+    err = np.abs(ref16 - got_deep).max() / scale
+    print(f"deep fwd bf16 rel err: {err:.2e}")
+    assert err < 5e-3, "deep fwd mismatch"
+
+    def timed_fwd(deep):
+        @jax.jit
+        def step(fs, r):
+            out = _roi_align_fwd(fs, r, STRIDES, False, deep)
+            return out.sum()
+
+        return time_scalar_fn(step, featsp, roisp, n=10, roundtrip_ms=rt)
+
+    t_f2 = timed_fwd(False)
+    t_fdeep = timed_fwd(True)
+    print(f"fwd-only 2-slot: {t_f2:.2f} ms | deep ring "
+          f"{FWD_SLOTS}x{FWD_LEAD}: {t_fdeep:.2f} ms "
+          f"({t_f2 / max(t_fdeep, 1e-9):.2f}x)")
     print("PASS")
 
 

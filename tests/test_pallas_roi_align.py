@@ -125,6 +125,68 @@ def test_chunked_call_matches_single(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_deep_forward_matches_xla_path():
+    """Issue-pointer-ring forward (deep=True) vs the XLA path, including
+    the multi-tile sliver RoIs whose chains the ring must walk."""
+    from dgod_tpu.ops.pallas_roi_align import _roi_align_fwd
+
+    rng = np.random.RandomState(7)
+    feats = _feats(rng, B=2, C=32)
+    rois = _rois(rng, B=2, N=16)
+    ref = _xla_ref(feats, rois)
+    got = _roi_align_fwd(feats, rois, STRIDES, True, True)
+    assert got.shape == ref.shape
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-3
+
+
+def test_deep_backward_matches_xla_vjp():
+    """Issue-pointer-ring backward (deep=True) vs the XLA vjp, including
+    overlap chains deeper than one predecessor (the ring may overtake up
+    to DEEP_SLOTS-1 in-flight writes, so every unsafe depth matters) and
+    sliver RoIs exercising the folded-tile serialization."""
+    from dgod_tpu.ops.pallas_roi_align import _roi_align_bwd
+
+    rng = np.random.RandomState(5)
+    feats = _feats(rng, B=2, C=32)
+    N = 14
+    rois = np.asarray(_rois(rng, B=2, N=N)).copy()
+    # a 6-deep chain of mutually overlapping same-image RoIs: after the
+    # cross-image interleave these sit 2 apart, hitting unsafe depths 2/4
+    for b in range(2):
+        for i in range(6, 12):
+            rois[b, i] = rois[b, 6] + (i - 6) * 1.5
+            rois[b, i, 2:] = np.maximum(
+                rois[b, i, 2:], rois[b, i, :2] + 4
+            )
+    rois = jnp.asarray(rois)
+    g = jnp.asarray(rng.randn(2, N, 7, 7, 32), jnp.float32)
+
+    _, vjp_ref = jax.vjp(lambda fs: _xla_ref(fs, rois), feats)
+    (dref,) = vjp_ref(g)
+    dgot = _roi_align_bwd(feats, rois, g, STRIDES, True, True)
+    for lvl, (a, b) in enumerate(zip(dref, dgot)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3, f"lvl{lvl}"
+
+
+def test_deep_backward_single_image_serializes_exactly():
+    """B=1: every predecessor shares the image, so the overlap chains are
+    maximally unsafe — the ring must degrade to exact serialization."""
+    from dgod_tpu.ops.pallas_roi_align import _roi_align_bwd
+
+    rng = np.random.RandomState(6)
+    feats = _feats(rng, B=1, C=16)
+    rois = _rois(rng, B=1, N=12)
+    g = jnp.asarray(rng.randn(1, 12, 7, 7, 16), jnp.float32)
+
+    _, vjp_ref = jax.vjp(lambda fs: _xla_ref(fs, rois), feats)
+    (dref,) = vjp_ref(g)
+    dgot = _roi_align_bwd(feats, rois, g, STRIDES, True, True)
+    for lvl, (a, b) in enumerate(zip(dref, dgot)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3, f"lvl{lvl}"
+
+
 def test_grad_flows_only_to_touched_cells():
     """A single small RoI must leave grads only at its own level/cells."""
     rng = np.random.RandomState(3)
